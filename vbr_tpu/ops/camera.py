@@ -1,0 +1,236 @@
+"""Pinhole camera math: Rodrigues, distortion, projection, homography.
+
+TPU-native replacement for the OpenCV C++ kernels used by the reference:
+  * ``cv2.Rodrigues``        (assignment.py:169,204)
+  * ``cv2.projectPoints``    (voxel_reconstruction.py:81, camera_calibration.py:773,809)
+  * ``cv2.getPerspectiveTransform`` / homography (camera_calibration.py:213-233)
+
+Every function is written against an array namespace ``xp`` so the same code
+runs as float64 numpy on the host (bit-exact projection tables for carving
+parity) and as jax.numpy under ``jit``/``vmap`` on TPU (calibration inner
+loops, fused carve kernel).  All functions are shape-polymorphic and
+vmap-friendly: points are ``(..., 3)`` / ``(..., 2)``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "rodrigues",
+    "rodrigues_inverse",
+    "distort_normalized",
+    "project_points",
+    "project_points_rt",
+    "undistort_points",
+    "homography_dlt",
+    "apply_homography",
+    "perspective_transform_4pt",
+]
+
+
+def rodrigues(rvec, xp=jnp):
+    """Axis-angle rotation vector (3,) → rotation matrix (3, 3).
+
+    R = I + sin(θ)·K + (1−cos(θ))·K² with K = skew(r/θ); smoothly falls back
+    to the first-order expansion near θ = 0.  Matches ``cv2.Rodrigues``.
+    """
+    rvec = xp.asarray(rvec).reshape(3)
+    theta2 = rvec @ rvec
+    theta = xp.sqrt(theta2)
+    # Guard the division; the (theta == 0) branch result is exact via where.
+    safe = xp.where(theta > 0, theta, 1.0)
+    k = rvec / safe
+    K = xp.stack(
+        [
+            xp.stack([xp.zeros(()), -k[2], k[1]]),
+            xp.stack([k[2], xp.zeros(()), -k[0]]),
+            xp.stack([-k[1], k[0], xp.zeros(())]),
+        ]
+    )
+    eye = xp.eye(3, dtype=K.dtype)
+    R = eye + xp.sin(theta) * K + (1.0 - xp.cos(theta)) * (K @ K)
+    # θ→0: R ≈ I + skew(r)  (K here is skew(r)/θ so use raw skew)
+    Kraw = K * safe
+    R0 = eye + Kraw
+    return xp.where(theta > 1e-12, R, R0)
+
+
+def rodrigues_inverse(R, xp=jnp):
+    """Rotation matrix (3, 3) → axis-angle vector (3,).  Inverse of above.
+
+    Handles θ near 0 and near π (where the off-diagonal difference vanishes)
+    the way ``cv2.Rodrigues`` does, via the symmetric part.
+    """
+    R = xp.asarray(R).reshape(3, 3)
+    tr = xp.clip((R[0, 0] + R[1, 1] + R[2, 2] - 1.0) * 0.5, -1.0, 1.0)
+    theta = xp.arccos(tr)
+    # Antisymmetric part → axis * 2 sinθ
+    v = xp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    sin_theta = xp.sin(theta)
+
+    # Generic branch
+    generic = v * (theta / xp.where(xp.abs(sin_theta) > 1e-7, 2.0 * sin_theta, 1.0))
+    # θ → 0 branch: r ≈ v / 2
+    small = v * 0.5
+    # θ → π branch: axis from diagonal of (R + I)/2 = kkᵀ(1-cosθ)+... at θ=π:
+    # (R + I)/2 = kkᵀ, take sqrt of diagonal, fix signs from off-diagonals.
+    S = (R + xp.eye(3, dtype=R.dtype)) * 0.5
+    k = xp.sqrt(xp.clip(xp.stack([S[0, 0], S[1, 1], S[2, 2]]), 0.0, None))
+    # Resolve signs: choose largest component positive, infer others.
+    kx = k[0]
+    ky = k[1] * xp.sign(xp.where(S[0, 1] >= 0, 1.0, -1.0))
+    kz = k[2] * xp.sign(xp.where(S[0, 2] >= 0, 1.0, -1.0))
+    # If kx ~ 0 use sign relation between y and z
+    ky = xp.where(kx > 1e-6, ky, k[1])
+    kz = xp.where(
+        kx > 1e-6, kz, k[2] * xp.sign(xp.where(S[1, 2] >= 0, 1.0, -1.0))
+    )
+    axis_pi = xp.stack([kx, ky, kz])
+    norm = xp.sqrt(axis_pi @ axis_pi)
+    axis_pi = axis_pi / xp.where(norm > 0, norm, 1.0)
+    near_pi = axis_pi * theta
+
+    out = xp.where(theta < 1e-6, small, generic)
+    out = xp.where(xp.abs(sin_theta) < 1e-7, xp.where(theta > 1.0, near_pi, small), out)
+    return out
+
+
+def distort_normalized(xn, yn, dist, xp=jnp):
+    """Apply the OpenCV 5-coefficient distortion model to normalized coords.
+
+    dist = (k1, k2, p1, p2, k3); replicates the polynomial used inside
+    ``cv2.projectPoints`` (radial terms + tangential terms).
+    """
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    r2 = xn * xn + yn * yn
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xy2 = 2.0 * xn * yn
+    xd = xn * radial + p1 * xy2 + p2 * (r2 + 2.0 * xn * xn)
+    yd = yn * radial + p1 * (r2 + 2.0 * yn * yn) + p2 * xy2
+    return xd, yd
+
+
+def project_points_rt(points, R, tvec, K, dist, xp=jnp):
+    """Project world points (..., 3) with a rotation *matrix* R.
+
+    Returns pixel coordinates (..., 2).  Exactly the ``cv2.projectPoints``
+    chain: X_cam = R·X + t → perspective divide → distortion → K.
+    """
+    points = xp.asarray(points)
+    Xc = points @ xp.transpose(R) + xp.reshape(tvec, (1,) * (points.ndim - 1) + (3,))
+    z = Xc[..., 2]
+    inv_z = 1.0 / z
+    xn = Xc[..., 0] * inv_z
+    yn = Xc[..., 1] * inv_z
+    xd, yd = distort_normalized(xn, yn, dist, xp=xp)
+    u = K[0, 0] * xd + K[0, 2]
+    v = K[1, 1] * yd + K[1, 2]
+    return xp.stack([u, v], axis=-1)
+
+
+def project_points(points, rvec, tvec, K, dist, xp=jnp):
+    """Project world points (..., 3) → pixels (..., 2) from an axis-angle pose."""
+    R = rodrigues(xp.asarray(rvec).reshape(3), xp=xp)
+    return project_points_rt(points, R, xp.asarray(tvec).reshape(3), K, dist, xp=xp)
+
+
+def undistort_points(uv, K, dist, num_iters: int = 8, xp=jnp):
+    """Invert distortion: pixels (..., 2) → normalized undistorted coords.
+
+    Fixed-point iteration identical in spirit to ``cv2.undistortPoints``
+    (which runs 5 Newton/fixed-point rounds); ``num_iters`` static for jit.
+    """
+    uv = xp.asarray(uv)
+    xd = (uv[..., 0] - K[0, 2]) / K[0, 0]
+    yd = (uv[..., 1] - K[1, 2]) / K[1, 1]
+    xn, yn = xd, yd
+    for _ in range(num_iters):
+        xe, ye = distort_normalized(xn, yn, dist, xp=xp)
+        xn = xn + (xd - xe)
+        yn = yn + (yd - ye)
+    return xp.stack([xn, yn], axis=-1)
+
+
+def _normalization_transform(pts, xp=jnp):
+    """Hartley normalization: similarity T s.t. T·pts has zero mean, √2 RMS."""
+    mean = xp.mean(pts, axis=0)
+    centered = pts - mean
+    scale = xp.sqrt(2.0) / xp.maximum(
+        xp.mean(xp.sqrt(xp.sum(centered * centered, axis=1))), 1e-12
+    )
+    zero = xp.zeros_like(scale)
+    one = xp.ones_like(scale)
+    T = xp.stack(
+        [
+            xp.stack([scale, zero, -scale * mean[0]]),
+            xp.stack([zero, scale, -scale * mean[1]]),
+            xp.stack([zero, zero, one]),
+        ]
+    )
+    return T
+
+
+def homography_dlt(src, dst, xp=jnp):
+    """Estimate H (3, 3) mapping src (N, 2) → dst (N, 2), N ≥ 4, via
+    normalized DLT (SVD of the 2N×9 design matrix).
+
+    Replaces ``cv2.getPerspectiveTransform`` (N = 4) and serves as the
+    per-view homography for Zhang calibration initialization.
+    """
+    src = xp.asarray(src)
+    dst = xp.asarray(dst)
+    Ts = _normalization_transform(src, xp=xp)
+    Td = _normalization_transform(dst, xp=xp)
+    ones = xp.ones_like(src[..., :1])
+    s_h = xp.concatenate([src, ones], axis=-1) @ xp.transpose(Ts)
+    d_h = xp.concatenate([dst, ones], axis=-1) @ xp.transpose(Td)
+    x, y = s_h[:, 0], s_h[:, 1]
+    u, v = d_h[:, 0], d_h[:, 1]
+    zero = xp.zeros_like(x)
+    one = xp.ones_like(x)
+    rows_u = xp.stack(
+        [x, y, one, zero, zero, zero, -u * x, -u * y, -u], axis=-1
+    )
+    rows_v = xp.stack(
+        [zero, zero, zero, x, y, one, -v * x, -v * y, -v], axis=-1
+    )
+    A = xp.concatenate([rows_u, rows_v], axis=0)
+    # Smallest right singular vector of A
+    _, _, vt = xp.linalg.svd(A, full_matrices=False)
+    h = vt[-1]
+    Hn = h.reshape(3, 3)
+    H = xp.linalg.inv(Td) @ Hn @ Ts
+    return H / H[2, 2]
+
+
+def apply_homography(H, pts, xp=jnp):
+    """Apply homography H to points (..., 2) with perspective divide."""
+    pts = xp.asarray(pts)
+    ones = xp.ones_like(pts[..., :1])
+    ph = xp.concatenate([pts, ones], axis=-1) @ xp.transpose(H)
+    return ph[..., :2] / ph[..., 2:3]
+
+
+def perspective_transform_4pt(src4, dst4, xp=jnp):
+    """Exact 4-point homography (``cv2.getPerspectiveTransform`` equivalent).
+
+    Solves the 8×8 linear system directly — used by the chessboard corner
+    interpolation pipeline (reference camera_calibration.py:213-233).
+    """
+    src4 = xp.asarray(src4)
+    dst4 = xp.asarray(dst4)
+    rows = []
+    for i in range(4):
+        x, y = src4[i, 0], src4[i, 1]
+        u, v = dst4[i, 0], dst4[i, 1]
+        zero = xp.zeros_like(x)
+        one = xp.ones_like(x)
+        rows.append(xp.stack([x, y, one, zero, zero, zero, -u * x, -u * y]))
+        rows.append(xp.stack([zero, zero, zero, x, y, one, -v * x, -v * y]))
+    A = xp.stack(rows)
+    b = dst4.reshape(-1)
+    h8 = xp.linalg.solve(A, b)
+    H = xp.concatenate([h8, xp.ones_like(h8[:1])]).reshape(3, 3)
+    return H

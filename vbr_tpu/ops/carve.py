@@ -1,0 +1,211 @@
+"""Voxel carving (visual hull) — projection + mask gather + view reduction.
+
+TPU-native replacement for the reference's precomputed Python lookup table
+(``voxel_reconstruction.create_lookup_table``, voxel_reconstruction.py:62-86)
+and its ~8.4M-iteration per-frame dict loop
+(``update_visible_voxels_and_extract_colors``, voxel_reconstruction.py:89-124).
+
+Two execution paths, both jitted:
+
+  * **table path** — the rig is static, so each voxel's projected integer
+    pixel index per camera is precomputed ONCE in float64 (bit-exact versus
+    the OpenCV/reference semantics: float bounds check, trunc-to-int
+    indexing).  Per frame the carve is then C gathers + an AND/count
+    reduction: ``occ = sum_c(valid_c & mask_c[idx_c]) >= threshold``.
+  * **fused path** — projection recomputed on the fly in float32 inside the
+    kernel (matmul on MXU + distortion polynomial on VPU + gather).  No
+    table memory, scales to 512³ grids where an index table would be GBs.
+
+Reference semantics preserved exactly (SURVEY.md §7 "hard parts"):
+  * bounds check uses the *float* coordinates: ``0 <= y < H and 0 <= x < W``
+    (voxel_reconstruction.py:110),
+  * pixel indexing truncates toward zero: ``mask[int(y), int(x)]``
+    (voxel_reconstruction.py:112),
+  * voxel world coordinates are reported truncated to int
+    (``tuple(map(int, voxel))``, voxel_reconstruction.py:84),
+  * a voxel is kept iff visible in >= views_threshold cameras
+    (assignment.py:119-121), colors taken from one designated camera
+    (camera 2, assignment.py:133).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vbr_tpu.ops import camera as cam_ops
+from vbr_tpu.utils.config import CameraParams, GridConfig
+
+
+class ProjectionTables(NamedTuple):
+    """Static per-rig carving tables.
+
+    valid:    (C, N) bool   — projection inside the image (float-coord test)
+    lin_idx:  (C, N) int32  — truncated y*W + x (0 where invalid)
+    """
+
+    valid: jnp.ndarray
+    lin_idx: jnp.ndarray
+    image_hw: Tuple[int, int]
+
+
+def build_projection_tables(
+    cameras: Sequence[CameraParams],
+    grid: GridConfig,
+    image_hw: Tuple[int, int],
+) -> ProjectionTables:
+    """Precompute per-camera projected pixel indices for every voxel.
+
+    Runs in float64 numpy on the host so that the trunc-to-int pixel index
+    is bit-identical to the reference's ``cv2.projectPoints`` + ``int()``
+    chain.  The result is uploaded to device once and reused every frame.
+    """
+    H, W = image_hw
+    pts = grid.voxel_points()  # (N, 3) float64
+    valids, idxs = [], []
+    for cp in cameras:
+        uv = cam_ops.project_points(pts, cp.rvec, cp.tvec, cp.K, cp.dist, xp=np)
+        x, y = uv[:, 0], uv[:, 1]
+        valid = (y >= 0) & (y < H) & (x >= 0) & (x < W)
+        ix = np.trunc(x).astype(np.int64)
+        iy = np.trunc(y).astype(np.int64)
+        lin = np.where(valid, iy * W + ix, 0).astype(np.int32)
+        valids.append(valid)
+        idxs.append(lin)
+    return ProjectionTables(
+        valid=jnp.asarray(np.stack(valids)),
+        lin_idx=jnp.asarray(np.stack(idxs)),
+        image_hw=(H, W),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("views_threshold", "color_camera"))
+def carve_from_tables(
+    masks: jnp.ndarray,  # (C, H, W) uint8 foreground masks
+    images: jnp.ndarray,  # (C, H, W, 3) uint8 BGR frames
+    valid: jnp.ndarray,  # (C, N) bool
+    lin_idx: jnp.ndarray,  # (C, N) int32
+    *,
+    views_threshold: int = 4,
+    color_camera: int = 1,
+):
+    """Per-frame carve: C mask gathers + view-count reduction + color gather.
+
+    Returns (occupancy (N,) bool, colors (N, 3) uint8 BGR from color_camera).
+    """
+    C = masks.shape[0]
+    masks_flat = masks.reshape(C, -1)
+
+    def per_cam(mask_flat, v, idx):
+        return v & (jnp.take(mask_flat, idx, axis=0) > 0)
+
+    vis = jax.vmap(per_cam)(masks_flat, valid, lin_idx)  # (C, N) bool
+    count = jnp.sum(vis.astype(jnp.int32), axis=0)
+    occupancy = count >= views_threshold
+    img_flat = images[color_camera].reshape(-1, 3)
+    colors = jnp.take(img_flat, lin_idx[color_camera], axis=0)
+    return occupancy, colors
+
+
+def _pose_arrays(cameras: Sequence[CameraParams]):
+    """Stack camera parameters into dense arrays for the fused path.
+
+    Returns (R (C,3,3), t (C,3), K4 (C,4)=[fx,fy,cx,cy], dist (C,5)) float32.
+    """
+    Rs, ts, K4s, dists = [], [], [], []
+    for cp in cameras:
+        Rs.append(cam_ops.rodrigues(cp.rvec, xp=np))
+        ts.append(cp.tvec)
+        K4s.append([cp.fx, cp.fy, cp.cx, cp.cy])
+        dists.append(cp.dist)
+    return (
+        jnp.asarray(np.stack(Rs), dtype=jnp.float32),
+        jnp.asarray(np.stack(ts), dtype=jnp.float32),
+        jnp.asarray(np.asarray(K4s), dtype=jnp.float32),
+        jnp.asarray(np.stack(dists), dtype=jnp.float32),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_hw", "views_threshold", "color_camera")
+)
+def carve_fused(
+    masks: jnp.ndarray,  # (C, H, W) uint8
+    images: jnp.ndarray,  # (C, H, W, 3) uint8
+    points: jnp.ndarray,  # (N, 3) float32 voxel centers
+    R: jnp.ndarray,  # (C, 3, 3)
+    t: jnp.ndarray,  # (C, 3)
+    K4: jnp.ndarray,  # (C, 4) fx fy cx cy
+    dist: jnp.ndarray,  # (C, 5)
+    *,
+    image_hw: Tuple[int, int],
+    views_threshold: int = 4,
+    color_camera: int = 1,
+):
+    """Fused on-the-fly carve: project → distort → gather → count, no table.
+
+    float32 throughout; the projection matmul maps onto the MXU and the
+    distortion polynomial fuses into it on the VPU.  Occupancy matches the
+    float64 table path except for voxels projecting within float32 rounding
+    of a pixel boundary (validated ≥ 99.99% identical in tests).
+    """
+    H, W = image_hw
+    C = masks.shape[0]
+    masks_flat = masks.reshape(C, -1)
+
+    def per_cam(mask_flat, Rc, tc, K4c, dc):
+        Xc = points @ Rc.T + tc  # (N, 3) — MXU
+        inv_z = 1.0 / Xc[:, 2]
+        xn = Xc[:, 0] * inv_z
+        yn = Xc[:, 1] * inv_z
+        xd, yd = cam_ops.distort_normalized(xn, yn, dc, xp=jnp)
+        u = K4c[0] * xd + K4c[2]
+        v = K4c[1] * yd + K4c[3]
+        valid = (v >= 0) & (v < H) & (u >= 0) & (u < W)
+        iu = jnp.trunc(u).astype(jnp.int32)
+        iv = jnp.trunc(v).astype(jnp.int32)
+        lin = jnp.where(valid, iv * W + iu, 0)
+        vis = valid & (jnp.take(mask_flat, lin, axis=0) > 0)
+        return vis, lin
+
+    vis, lin = jax.vmap(per_cam)(masks_flat, R, t, K4, dist)
+    count = jnp.sum(vis.astype(jnp.int32), axis=0)
+    occupancy = count >= views_threshold
+    img_flat = images[color_camera].reshape(-1, 3)
+    colors = jnp.take(img_flat, lin[color_camera], axis=0)
+    return occupancy, colors
+
+
+def compact_voxels(
+    occupancy: np.ndarray,
+    colors: np.ndarray,
+    grid: GridConfig,
+    scaling_factor: float = 64.0,
+):
+    """Host-side compaction into the viewer contract of assignment.py:119-133.
+
+    Positions: world coords truncated to int (``tuple(map(int, voxel))``),
+    then the OpenCV→OpenGL axis conversion ``(x, -z, y) / scaling_factor``.
+    Colors: BGR→RGB, scaled to [0, 1].
+
+    Returns (positions (M, 3) float32, colors (M, 3) float32).
+    """
+    occupancy = np.asarray(occupancy)
+    colors = np.asarray(colors)
+    pts = grid.voxel_points()  # same row order as the carve outputs
+    kept = pts[occupancy]
+    kept = np.trunc(kept)  # int() truncation of assignment voxel tuples
+    positions = np.stack(
+        [
+            kept[:, 0] / scaling_factor,
+            -(kept[:, 2] / scaling_factor),
+            kept[:, 1] / scaling_factor,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    rgb = colors[occupancy][:, ::-1].astype(np.float32) / 255.0
+    return positions, rgb
