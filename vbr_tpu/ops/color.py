@@ -1,0 +1,89 @@
+"""Color-space and intensity transforms (OpenCV-parity JAX ops).
+
+Replaces the ``cv2.cvtColor`` / ``cv2.equalizeHist`` / ``cv2.threshold``
+C++ kernels used throughout the reference
+(background_subtraction.py:41,155; camera_calibration.py:267-271,282).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def bgr_to_hsv_u8(bgr: jnp.ndarray) -> jnp.ndarray:
+    """uint8 BGR → uint8 HSV with OpenCV's 8-bit conventions.
+
+    H ∈ [0, 180), S, V ∈ [0, 255].  Matches ``cv2.cvtColor(x,
+    cv2.COLOR_BGR2HSV)`` semantics: V = max, S = 255·(V−min)/V rounded,
+    H = 30·(sector formula) rounded, negative H wrapped by +180.
+    """
+    b = bgr[..., 0].astype(jnp.int32)
+    g = bgr[..., 1].astype(jnp.int32)
+    r = bgr[..., 2].astype(jnp.int32)
+    v = jnp.maximum(jnp.maximum(b, g), r)
+    mn = jnp.minimum(jnp.minimum(b, g), r)
+    diff = v - mn
+
+    # OpenCV's fixed-point tables (hsv_shift = 12, cvRound half-to-even):
+    #   sdiv_table[v]   = round(255·4096 / v)
+    #   hdiv_table[d]   = round(180·4096 / (6·d)) = round(30·4096 / d)
+    shift = 12
+    vf = jnp.where(v > 0, v, 1).astype(jnp.float32)
+    df = jnp.where(diff > 0, diff, 1).astype(jnp.float32)
+    sdiv = jnp.where(v > 0, jnp.round(255.0 * 4096.0 / vf), 0.0).astype(jnp.int32)
+    hdiv = jnp.where(diff > 0, jnp.round(30.0 * 4096.0 / df), 0.0).astype(jnp.int32)
+
+    s = (diff * sdiv + (1 << (shift - 1))) >> shift
+    h_num = jnp.where(
+        v == r,
+        (g - b) * hdiv,
+        jnp.where(v == g, ((b - r) + 2 * diff) * hdiv, ((r - g) + 4 * diff) * hdiv),
+    )
+    h = (h_num + (1 << (shift - 1))) >> shift
+    h = jnp.where(h < 0, h + 180, h)
+    return jnp.stack([h, s, v], axis=-1).astype(jnp.uint8)
+
+
+@jax.jit
+def bgr_to_gray_u8(bgr: jnp.ndarray) -> jnp.ndarray:
+    """uint8 BGR → uint8 gray with OpenCV's Rec.601 weights + rounding."""
+    b = bgr[..., 0].astype(jnp.float32)
+    g = bgr[..., 1].astype(jnp.float32)
+    r = bgr[..., 2].astype(jnp.float32)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    return jnp.round(y).astype(jnp.uint8)
+
+
+@jax.jit
+def equalize_hist_u8(gray: jnp.ndarray) -> jnp.ndarray:
+    """Histogram equalization matching ``cv2.equalizeHist``.
+
+    OpenCV builds the LUT as round(cdf(i) · 255 / (N − cdf₀ offset)) using
+    the cumulative histogram excluding... — concretely: lut[i] =
+    round((cdf[i] − cdf_min) / (N − cdf_min) · 255) with cdf_min the first
+    nonzero cdf value.
+    """
+    flat = gray.reshape(-1)
+    hist = jnp.zeros((256,), jnp.int32).at[flat].add(1)
+    cdf = jnp.cumsum(hist)
+    nonzero_mask = hist > 0
+    # first nonzero bin's cdf value
+    first_idx = jnp.argmax(nonzero_mask)
+    cdf_min = cdf[first_idx]
+    total = flat.shape[0]
+    denom = jnp.maximum(total - cdf_min, 1)
+    lut = jnp.round((cdf - cdf_min).astype(jnp.float32) * 255.0 / denom)
+    lut = jnp.clip(lut, 0, 255).astype(jnp.uint8)
+    return lut[flat].reshape(gray.shape)
+
+
+def threshold_binary(img: jnp.ndarray, thresh: float, maxval: int = 255):
+    """``cv2.threshold(img, t, maxval, THRESH_BINARY)``: out = maxval·(img > t)."""
+    return jnp.where(img > thresh, jnp.uint8(maxval), jnp.uint8(0))
+
+
+def threshold_binary_inv(img: jnp.ndarray, thresh: float, maxval: int = 255):
+    """THRESH_BINARY_INV: out = maxval·(img <= t)."""
+    return jnp.where(img > thresh, jnp.uint8(0), jnp.uint8(maxval))

@@ -1,0 +1,99 @@
+"""Background-subtraction pipeline: GMM training + mask extraction.
+
+The TPU-native counterpart of the reference's
+``train_MOG_background_model`` + ``extract_foreground_mask``
+(background_subtraction.py:49-87,129-208): per-pixel mixture models
+trained with ``lax.scan`` over the background video, then a frozen apply
+followed by morphology and the CCL-based contour cleanup.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from vbr_tpu.ops import ccl, gmm, morphology
+from vbr_tpu.utils.config import DEFAULT_MASK_PARAMS, MaskParams, MOGParams
+from vbr_tpu.utils import video as video_io
+
+
+def train_background_model(
+    background_frames: np.ndarray,  # (T, H, W, 3) u8 BGR
+    params: MOGParams = MOGParams(),
+) -> gmm.MOGState:
+    """Train the production MOG model (HSV, auto lr) over the sequence."""
+    return gmm.train_mog(background_frames, params)
+
+
+def extract_foreground_mask(
+    state: gmm.MOGState,
+    frame: np.ndarray,  # (H, W, 3) u8 BGR
+    mask_params: MaskParams = MaskParams(),
+    mog_params: MOGParams = MOGParams(),
+) -> jnp.ndarray:
+    """Full mask pipeline for one frame (reference
+    background_subtraction.py:129-208):
+
+      BGR→HSV → frozen GMM apply → optional pre open/close (3×3) →
+      contour-hierarchy cleanup (fill big components, re-carve big holes) →
+      optional post open/close (2×2) → binarize.
+    """
+    raw = gmm.extract_mask(state, frame, mog_params)
+    if mask_params.opening_pre:
+        raw = morphology.opening(raw, (3, 3))
+    if mask_params.closing_pre:
+        raw = morphology.closing(raw, (3, 3))
+    cleaned = ccl.clean_mask(
+        raw, mask_params.figure_threshold, mask_params.inner_threshold
+    )
+    if mask_params.opening_post:
+        cleaned = morphology.opening(cleaned, (2, 2))
+    if mask_params.closing_post:
+        cleaned = morphology.closing(cleaned, (2, 2))
+    return jnp.where(cleaned > 0, jnp.uint8(255), jnp.uint8(0))
+
+
+class BackgroundPipeline:
+    """Per-rig background models + per-frame mask extraction.
+
+    Mirrors the lazy initialization block of ``set_voxel_positions``
+    (assignment.py:68-91): one model per camera, trained on that camera's
+    background.avi with history = its frame count.
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        num_cameras: int = 4,
+        mask_params: Sequence[MaskParams] = DEFAULT_MASK_PARAMS,
+        mog_params: Optional[MOGParams] = None,
+    ):
+        self.mask_params = list(mask_params)
+        self.states: List[gmm.MOGState] = []
+        self.mog_params: List[MOGParams] = []
+        for cam in range(1, num_cameras + 1):
+            frames = video_io.read_video(
+                os.path.join(data_dir, f"cam{cam}", "background.avi")
+            )
+            p = mog_params or MOGParams(history=frames.shape[0])
+            self.states.append(train_background_model(frames, p))
+            self.mog_params.append(p)
+
+    def masks_for_frames(self, frames: np.ndarray) -> np.ndarray:
+        """(C, H, W, 3) u8 BGR → (C, H, W) u8 {0,255} cleaned masks."""
+        out = []
+        for c, frame in enumerate(frames):
+            out.append(
+                np.asarray(
+                    extract_foreground_mask(
+                        self.states[c],
+                        frame,
+                        self.mask_params[c],
+                        self.mog_params[c],
+                    )
+                )
+            )
+        return np.stack(out)

@@ -169,10 +169,12 @@ class MOGParams:
 
     n_mixtures: int = 50
     bg_ratio: float = 0.9
-    noise_sigma: float = 30.0
+    # OpenCV bgsegm defaultNoiseSigma = 30·0.5 = 15; the reference passes
+    # noiseSigma=0 (assignment.py:82) which selects that default.
+    noise_sigma: float = 15.0
     history: int = 134
     use_hsv: bool = True
-    var_init: float = 900.0  # noiseSigma**2 at model birth (OpenCV default 30²)
+    var_init: float = 225.0  # noiseSigma² at mixture birth
     var_min: float = 0.0
     match_sigma: float = 2.5  # Mahalanobis match threshold in sigmas
 
