@@ -48,27 +48,61 @@ def main():
         cameras, masks, frames = synthetic_rig()
 
     H, W = masks.shape[1:3]
-    tables = carve.build_projection_tables(cameras, grid, (H, W))
     masks_d = jnp.asarray(masks)
     frames_d = jnp.asarray(frames)
 
-    def step(m, im):
-        return carve.carve_from_tables(
-            m, im, tables.valid, tables.lin_idx,
-            views_threshold=rig.views_threshold, color_camera=rig.color_camera,
-        )
+    kernel = os.environ.get("VBR_BENCH_KERNEL", "pallas")
+    step = None
+    if kernel == "pallas":
+        try:
+            from vbr_tpu.ops import carve_pallas
+
+            btab = carve_pallas.build_block_tables(cameras, grid, (H, W))
+            frame_color = frames_d[rig.color_camera]
+
+            def step(m, im):  # noqa: F811
+                return carve_pallas.carve_blocked(
+                    m, frame_color, btab, views_threshold=rig.views_threshold
+                )
+
+            occ, col = step(masks_d, frames_d)  # compile check
+            np.asarray(occ.ravel()[:1])
+        except Exception as e:  # Mosaic compile unavailable → XLA fallback
+            print(f"# pallas kernel unavailable ({type(e).__name__}); "
+                  "falling back to XLA table path", file=sys.stderr)
+            step = None
+            kernel = "tables"
+
+    if step is None:
+        tables = carve.build_projection_tables(cameras, grid, (H, W))
+
+        def step(m, im):
+            return carve.carve_from_tables(
+                m, im, tables.valid, tables.lin_idx,
+                views_threshold=rig.views_threshold,
+                color_camera=rig.color_camera,
+            )
 
     # Warm-up / compile
     occ, col = step(masks_d, frames_d)
-    occ.block_until_ready()
+    _ = np.asarray(occ.ravel()[:1])  # true sync (tunnel-safe)
     n_occ = int(np.asarray(occ).sum())
 
     iters = int(os.environ.get("VBR_BENCH_ITERS", "50"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        occ, col = step(masks_d, frames_d)
-    jax.block_until_ready((occ, col))
-    dt = (time.perf_counter() - t0) / iters
+    # steady-state marginal: time 2 batch sizes, difference removes the
+    # fixed dispatch/sync overhead of the tunnel
+    def run(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            o, c = step(masks_d, frames_d)
+        _ = np.asarray(o.ravel()[:1])
+        _ = np.asarray(c.ravel()[:1])
+        return time.perf_counter() - t0
+
+    run(3)  # warm
+    t_half = run(iters // 2)
+    t_full = run(iters)
+    dt = max((t_full - t_half) / (iters - iters // 2), t_full / iters * 0.1)
 
     ms = dt * 1e3
     voxels_per_sec = grid.num_voxels * 4 / dt
@@ -82,6 +116,7 @@ def main():
             "occupied_voxels": n_occ,
             "grid": "128x128x128",
             "cameras": 4,
+            "kernel": kernel,
             "device": str(jax.devices()[0]),
             "iters": iters,
         },

@@ -1,0 +1,76 @@
+"""Marching-tetrahedra surface extraction invariants."""
+
+import numpy as np
+
+from vbr_tpu.ops import marching_cubes as mc
+
+
+def sphere_volume(n=24, r=8.0):
+    g = np.arange(n)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    c = (n - 1) / 2.0
+    return ((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2) < r * r
+
+
+class TestMarchingTets:
+    def test_empty_and_full(self):
+        empty = np.zeros((8, 8, 8), bool)
+        tris, n = mc.extract_mesh(empty)
+        assert n == 0
+        full = np.ones((8, 8, 8), bool)
+        tris, n = mc.extract_mesh(full)
+        assert n == 0  # no crossings anywhere
+
+    def test_single_voxel(self):
+        vol = np.zeros((5, 5, 5), bool)
+        vol[2, 2, 2] = True
+        tris, n = mc.extract_mesh(vol)
+        assert n > 0
+        # all vertices within one voxel of the center
+        assert (np.abs(tris.reshape(-1, 3) - 2.0) <= 1.0 + 1e-5).all()
+
+    def test_watertight_sphere(self):
+        vol = sphere_volume()
+        tris, n = mc.extract_mesh(vol)
+        assert n > 100
+        verts, faces = mc.mesh_to_vertex_faces(tris)
+        # closed 2-manifold: every undirected edge appears exactly twice
+        edges = {}
+        for f in faces:
+            for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+                key = (min(a, b), max(a, b))
+                edges[key] = edges.get(key, 0) + 1
+        counts = np.array(list(edges.values()))
+        assert (counts == 2).all(), f"non-manifold edges: {(counts != 2).sum()}"
+        # Euler characteristic of a sphere: V - E + F = 2
+        assert len(verts) - len(edges) + len(faces) == 2
+
+    def test_outward_orientation_and_volume(self):
+        vol = sphere_volume()
+        tris, _ = mc.extract_mesh(vol)
+        # signed volume via divergence theorem must be positive and close
+        # to the voxel count
+        v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
+        signed = np.sum(np.einsum("ij,ij->i", v0, np.cross(v1, v2))) / 6.0
+        voxels = vol.sum()
+        assert signed > 0, "mesh must be outward-oriented"
+        assert abs(signed - voxels) / voxels < 0.15
+
+    def test_spacing_and_origin(self):
+        vol = np.zeros((4, 4, 4), bool)
+        vol[1:3, 1:3, 1:3] = True
+        tris, _ = mc.extract_mesh(vol, origin=(10, 20, 30), spacing=(2, 2, 2))
+        mins = tris.reshape(-1, 3).min(0)
+        maxs = tris.reshape(-1, 3).max(0)
+        assert (mins >= np.array([10, 20, 30])).all()
+        assert (maxs <= np.array([10 + 6, 20 + 6, 30 + 6])).all()
+
+    def test_capacity_chunking(self):
+        vol = sphere_volume()
+        tris_big, n_big = mc.extract_mesh(vol, capacity=4096)
+        tris_small, n_small = mc.extract_mesh(vol, capacity=64)
+        assert n_big == n_small
+        # same triangle set regardless of chunking
+        a = np.sort(tris_big.reshape(n_big, -1), axis=0)
+        b = np.sort(tris_small.reshape(n_small, -1), axis=0)
+        np.testing.assert_allclose(a, b, atol=1e-6)

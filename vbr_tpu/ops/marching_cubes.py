@@ -1,0 +1,209 @@
+"""Isosurface extraction from the carved occupancy volume (JAX).
+
+Replaces ``skimage.measure.marching_cubes`` (Cython Lewiner, reference
+voxel_reconstruction.py:142) with a marching-*tetrahedra* scheme: each
+cell is split into 6 tetrahedra, each tet contributes 0-2 triangles from
+a 16-case analysis that is small enough to be written out explicitly —
+no 256-entry magic tables — and vectorizes cleanly with ``vmap`` over
+cells.  The surface is topologically watertight (tet decomposition is
+ambiguity-free, unlike classic marching cubes).
+
+Execution model (XLA-friendly static shapes, SURVEY.md §7 "dynamic-size
+outputs"): a cheap dense device pass finds active cells; the host
+compacts their indices (the only dynamic step); a second device pass
+emits triangles for a fixed-capacity batch of active cells.  For a binary
+occupancy field the iso-level is 0.5, so vertices sit at edge midpoints.
+
+Triangles are consistently oriented with outward normals (checked
+numerically against the inside/outside centroid axis).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Cube corner offsets, id = bit order (dx, dy, dz)
+_CORNERS = np.array(
+    [
+        [0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+        [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1],
+    ],
+    dtype=np.int32,
+)
+
+# 6-tetrahedra decomposition of the cube around the 0-7 diagonal.
+_TETS = np.array(
+    [
+        [0, 5, 1, 7],
+        [0, 1, 3, 7],
+        [0, 3, 2, 7],
+        [0, 2, 6, 7],
+        [0, 6, 4, 7],
+        [0, 4, 5, 7],
+    ],
+    dtype=np.int32,
+)
+
+# Tet edges by local corner pair
+_TET_EDGES = np.array(
+    [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], dtype=np.int32
+)
+
+# Case table: for each 4-bit inside mask, up to 2 triangles as triples of
+# tet-edge ids (−1 padding).  Orientation fixed numerically afterwards.
+_E01, _E02, _E03, _E12, _E13, _E23 = range(6)
+_CASES = -np.ones((16, 2, 3), dtype=np.int32)
+_CASES[1, 0] = [_E01, _E02, _E03]                      # v0 inside
+_CASES[2, 0] = [_E01, _E12, _E13]                      # v1
+_CASES[4, 0] = [_E02, _E12, _E23]                      # v2
+_CASES[8, 0] = [_E03, _E13, _E23]                      # v3
+_CASES[3] = [[_E02, _E03, _E13], [_E02, _E13, _E12]]   # v0 v1
+_CASES[5] = [[_E01, _E03, _E23], [_E01, _E23, _E12]]   # v0 v2
+_CASES[9] = [[_E01, _E13, _E23], [_E01, _E23, _E02]]   # v0 v3
+_CASES[6] = [[_E01, _E02, _E23], [_E01, _E23, _E13]]   # v1 v2
+_CASES[10] = [[_E01, _E12, _E23], [_E01, _E23, _E03]]  # v1 v3
+_CASES[12] = [[_E02, _E03, _E13], [_E02, _E13, _E12]]  # v2 v3
+for _m in (1, 2, 4, 8, 3, 5, 9, 6, 10, 12):
+    _CASES[15 - _m] = _CASES[_m]
+_CASES_J = jnp.asarray(_CASES)
+_TETS_J = jnp.asarray(_TETS)
+_CORNERS_J = jnp.asarray(_CORNERS.astype(np.float32))
+_TET_EDGES_J = jnp.asarray(_TET_EDGES)
+
+
+@jax.jit
+def active_cells_mask(volume: jnp.ndarray) -> jnp.ndarray:
+    """(nx-1, ny-1, nz-1) bool: cells whose 8 corners are not all equal."""
+    v = volume.astype(jnp.int32)
+    s = (
+        v[:-1, :-1, :-1] + v[1:, :-1, :-1] + v[:-1, 1:, :-1] + v[1:, 1:, :-1]
+        + v[:-1, :-1, 1:] + v[1:, :-1, 1:] + v[:-1, 1:, 1:] + v[1:, 1:, 1:]
+    )
+    return (s > 0) & (s < 8)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _emit_triangles(volume, cell_idx, *, capacity: int):
+    """Triangles for ``capacity`` active cells (padded with index 0).
+
+    Returns (tris (capacity·12, 3, 3) f32, valid (capacity·12,) bool) in
+    voxel-index coordinates.
+    """
+    vol = volume.astype(jnp.float32)
+    nx, ny, nz = volume.shape
+
+    def per_cell(flat_idx):
+        cz = flat_idx % (nz - 1)
+        cy = (flat_idx // (nz - 1)) % (ny - 1)
+        cx = flat_idx // ((nz - 1) * (ny - 1))
+        base = jnp.stack([cx, cy, cz])
+        corner_pos = base[None, :].astype(jnp.float32) + _CORNERS_J  # (8,3)
+        # gather the 8 corner values with static offsets
+        vals = jnp.stack(
+            [
+                vol[base[0] + int(c[0]), base[1] + int(c[1]), base[2] + int(c[2])]
+                for c in _CORNERS
+            ]
+        )  # (8,)
+
+        def per_tet(t):
+            ids = _TETS_J[t]  # (4,)
+            tv = vals[ids]  # (4,)
+            tp = corner_pos[ids]  # (4, 3)
+            inside = tv > 0.5
+            case = (
+                inside[0].astype(jnp.int32)
+                + 2 * inside[1].astype(jnp.int32)
+                + 4 * inside[2].astype(jnp.int32)
+                + 8 * inside[3].astype(jnp.int32)
+            )
+            # edge midpoints (binary field, level 0.5)
+            edge_mid = (tp[_TET_EDGES_J[:, 0]] + tp[_TET_EDGES_J[:, 1]]) * 0.5  # (6,3)
+            tri_edges = _CASES_J[case]  # (2, 3)
+            valid = tri_edges[:, 0] >= 0  # (2,)
+            verts = edge_mid[jnp.clip(tri_edges, 0, 5)]  # (2, 3, 3)
+
+            # orient outward: flip if normal points toward the inside set
+            centroid_in = jnp.sum(
+                jnp.where(inside[:, None], tp, 0.0), axis=0
+            ) / jnp.maximum(jnp.sum(inside), 1)
+            centroid_out = jnp.sum(
+                jnp.where(~inside[:, None], tp, 0.0), axis=0
+            ) / jnp.maximum(jnp.sum(~inside), 1)
+            outward = centroid_out - centroid_in
+            n = jnp.cross(
+                verts[:, 1] - verts[:, 0], verts[:, 2] - verts[:, 0]
+            )  # (2, 3)
+            flip = jnp.sum(n * outward[None, :], axis=1) < 0
+            verts = jnp.where(
+                flip[:, None, None], verts[:, ::-1, :], verts
+            )
+            return verts, valid
+
+        verts, valid = jax.vmap(per_tet)(jnp.arange(6))  # (6,2,3,3), (6,2)
+        return verts.reshape(12, 3, 3), valid.reshape(12)
+
+    verts, valid = jax.vmap(per_cell)(cell_idx)  # (cap, 12, 3, 3)
+    return verts.reshape(-1, 3, 3), valid.reshape(-1)
+
+
+def extract_mesh(
+    volume: np.ndarray,
+    origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    capacity: int = 65536,
+):
+    """Marching-tetrahedra mesh of a boolean (nx, ny, nz) volume.
+
+    Returns (vertices (T, 3, 3) float32 world coords, n_triangles int).
+    ``capacity`` caps the number of active cells per device pass; passes
+    repeat until all active cells are consumed.
+    """
+    volume_d = jnp.asarray(volume)
+    mask = np.asarray(active_cells_mask(volume_d)).reshape(-1)
+    idx = np.flatnonzero(mask)
+    tris_out = []
+    for start in range(0, len(idx), capacity):
+        chunk = idx[start : start + capacity]
+        padded = np.zeros(capacity, np.int64)
+        padded[: len(chunk)] = chunk
+        verts, valid = _emit_triangles(
+            volume_d, jnp.asarray(padded), capacity=capacity
+        )
+        verts = np.asarray(verts)
+        valid = np.asarray(valid).copy()
+        valid[len(chunk) * 12 :] = False
+        tris_out.append(verts[valid])
+    if not tris_out:
+        return np.zeros((0, 3, 3), np.float32), 0
+    tris = np.concatenate(tris_out)
+    tris = tris * np.asarray(spacing, np.float32) + np.asarray(origin, np.float32)
+    return tris.astype(np.float32), len(tris)
+
+
+def mesh_to_vertex_faces(tris: np.ndarray):
+    """Weld identical vertices → (verts (V, 3), faces (T, 3) int32)."""
+    flat = tris.reshape(-1, 3)
+    verts, inv = np.unique(
+        flat.round(decimals=5), axis=0, return_inverse=True
+    )
+    faces = inv.reshape(-1, 3).astype(np.int32)
+    return verts, faces
+
+
+def write_obj(path: str, tris: np.ndarray):
+    """Dump a triangle soup as a Wavefront OBJ (viewer-independent)."""
+    verts, faces = mesh_to_vertex_faces(tris)
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.5f} {v[1]:.5f} {v[2]:.5f}\n")
+        for a, b, c in faces + 1:
+            f.write(f"f {a} {b} {c}\n")
