@@ -1,0 +1,245 @@
+"""Command-line entry points for the framework.
+
+Replaces the reference's three ``__main__`` drivers (executable.py,
+camera_calibration.py:867-978, background_subtraction.py:343-419) with one
+CLI:
+
+    python -m vbr_tpu.apps.cli calibrate --data DIR [--cams 1,2,3,4]
+    python -m vbr_tpu.apps.cli masks     --data DIR [--frame 0]
+    python -m vbr_tpu.apps.cli carve     --data DIR [--frames N] [--ply OUT]
+    python -m vbr_tpu.apps.cli mesh      --data DIR [--obj OUT]
+    python -m vbr_tpu.apps.cli render    --data DIR [--png OUT]
+    python -m vbr_tpu.apps.cli view      --data DIR      (OpenGL window)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--data", default=os.environ.get("VBR_DATA_DIR",
+                                                    "/root/reference/data"))
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--out-dir", default="artifacts")
+
+
+def _maybe_cpu(args):
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def cmd_calibrate(args):
+    _maybe_cpu(args)
+    import cv2
+
+    from vbr_tpu.ops import corners as corner_ops
+    from vbr_tpu.pipelines import calibration
+    from vbr_tpu.utils import xmlio
+
+    (bw, bh), square = xmlio.load_chessboard_info(
+        os.path.join(args.data, "checkerboard.xml")
+    )
+    board = (bw, bh)
+    cams = [int(c) for c in args.cams.split(",")]
+    for cam in cams:
+        cam_dir = os.path.join(args.data, f"cam{cam}")
+        video = os.path.join(cam_dir, args.video)
+        cap = cv2.VideoCapture(video)
+        image_points = []
+        frame_idx = 0
+        w = h = None
+        while True:
+            ok, frame = cap.read()
+            if not ok or (args.stop_frame and frame_idx >= args.stop_frame):
+                break
+            if frame_idx % args.frame_interval == 0:
+                gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+                h, w = gray.shape
+                pts = corner_ops.detect_chessboard(gray, board)
+                if pts is not None:
+                    image_points.append(pts.astype(np.float32))
+            frame_idx += 1
+        cap.release()
+        print(f"cam{cam}: {len(image_points)} views with detected corners")
+        if len(image_points) < 3:
+            print(f"cam{cam}: not enough views; skipping")
+            continue
+        res = calibration.calibrate_camera(image_points, (w, h), board, square)
+        print(f"cam{cam}: rms={res.rms:.3f}px fx={res.K[0,0]:.2f} "
+              f"fy={res.K[1,1]:.2f} cx={res.K[0,2]:.2f} cy={res.K[1,2]:.2f}")
+        out = os.path.join(args.out_dir, f"cam{cam}")
+        xmlio.save_camera_config(
+            out, res.K, res.dist, res.rvecs[0], res.tvecs[0],
+            filename="config.xml",
+        )
+        print(f"cam{cam}: wrote {out}/config.xml")
+
+
+def cmd_masks(args):
+    _maybe_cpu(args)
+    import cv2
+
+    from vbr_tpu.pipelines import background
+    from vbr_tpu.utils import video as vio
+
+    pipe = background.BackgroundPipeline(args.data)
+    src = vio.MultiCameraSource(args.data)
+    frames = None
+    for _ in range(args.frame + 1):
+        frames = src.next_frames()
+    src.release()
+    masks = pipe.masks_for_frames(frames)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for c in range(masks.shape[0]):
+        path = os.path.join(args.out_dir, f"mask_cam{c+1}.png")
+        cv2.imwrite(path, masks[c])
+        print(f"wrote {path} (fg {np.mean(masks[c] > 0):.4f})")
+
+
+def _carve_setup(args):
+    from vbr_tpu.pipelines import background, reconstruction
+    from vbr_tpu.utils.config import GridConfig, RigConfig
+
+    grid = GridConfig(nx=args.grid, ny=args.grid, nz=args.grid)
+    cams = reconstruction.load_rig(args.data)
+    recon = reconstruction.Reconstructor(cams, grid, RigConfig())
+    pipe = background.BackgroundPipeline(args.data)
+    return grid, cams, recon, pipe
+
+
+def cmd_carve(args):
+    _maybe_cpu(args)
+    from vbr_tpu.pipelines import reconstruction
+    from vbr_tpu.utils import video as vio
+
+    grid, cams, recon, pipe = _carve_setup(args)
+    src = vio.MultiCameraSource(args.data)
+    for i in range(args.frames):
+        frames = src.next_frames()
+        if frames is None:
+            break
+        t0 = time.time()
+        masks = pipe.masks_for_frames(frames)
+        pos, col = recon.carve_frame_compact(masks, frames)
+        print(f"frame {i}: {len(pos)} voxels in {time.time()-t0:.2f}s")
+        if args.ply:
+            path = args.ply if args.frames == 1 else f"{args.ply}.{i}.ply"
+            reconstruction.write_ply(path, pos, col)
+            print(f"  wrote {path}")
+    src.release()
+
+
+def cmd_mesh(args):
+    _maybe_cpu(args)
+    from vbr_tpu.ops import marching_cubes as mc
+    from vbr_tpu.utils import video as vio
+
+    grid, cams, recon, pipe = _carve_setup(args)
+    src = vio.MultiCameraSource(args.data)
+    frames = src.next_frames()
+    src.release()
+    masks = pipe.masks_for_frames(frames)
+    volume = recon.occupancy_volume(masks, frames)
+    xs, ys, zs = grid.axis_ranges()
+    spacing = (xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0])
+    tris, n = mc.extract_mesh(
+        volume, origin=(xs[0], ys[0], zs[0]), spacing=spacing
+    )
+    print(f"marching tetrahedra: {n} triangles")
+    if args.obj:
+        mc.write_obj(args.obj, tris)
+        print(f"wrote {args.obj}")
+
+
+def cmd_render(args):
+    _maybe_cpu(args)
+    from vbr_tpu.pipelines import reconstruction
+    from vbr_tpu.utils import video as vio
+    from vbr_tpu.viewer import headless
+
+    grid, cams, recon, pipe = _carve_setup(args)
+    src = vio.MultiCameraSource(args.data)
+    frames = src.next_frames()
+    src.release()
+    masks = pipe.masks_for_frames(frames)
+    pos, col = recon.carve_frame_compact(masks, frames)
+    img = headless.render_points(pos, col)
+    floor_pos, floor_col = reconstruction.generate_grid(64, 64)
+    cam_pos, cam_col = reconstruction.get_cam_positions(cams)
+    headless.render_floor_and_cameras(
+        img, np.asarray(floor_pos), np.asarray(floor_col),
+        np.asarray(cam_pos, float), cam_col,
+    )
+    png = args.png or os.path.join(args.out_dir, "render.png")
+    headless.save_png(png, img)
+    print(f"wrote {png} ({len(pos)} voxels)")
+
+
+def cmd_view(args):
+    from vbr_tpu.utils.config import AppConfig
+    from vbr_tpu.viewer import app as viewer_app
+
+    cfg_path = os.path.join(args.data, "..", "config.json")
+    cfg = AppConfig.load(cfg_path) if os.path.exists(cfg_path) else AppConfig()
+    viewer_app.run_viewer(args.data, cfg)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vbr_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("calibrate")
+    _add_common(p)
+    p.add_argument("--cams", default="1,2,3,4")
+    p.add_argument("--video", default="checkerboard.avi")
+    p.add_argument("--frame-interval", type=int, default=10)
+    p.add_argument("--stop-frame", type=int, default=0)
+    p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("masks")
+    _add_common(p)
+    p.add_argument("--frame", type=int, default=0)
+    p.set_defaults(fn=cmd_masks)
+
+    p = sub.add_parser("carve")
+    _add_common(p)
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--grid", type=int, default=128)
+    p.add_argument("--ply", default="")
+    p.set_defaults(fn=cmd_carve)
+
+    p = sub.add_parser("mesh")
+    _add_common(p)
+    p.add_argument("--grid", type=int, default=128)
+    p.add_argument("--obj", default="artifacts/hull.obj")
+    p.set_defaults(fn=cmd_mesh)
+
+    p = sub.add_parser("render")
+    _add_common(p)
+    p.add_argument("--grid", type=int, default=128)
+    p.add_argument("--png", default="")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("view")
+    _add_common(p)
+    p.set_defaults(fn=cmd_view)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

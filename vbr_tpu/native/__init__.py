@@ -1,0 +1,118 @@
+"""ctypes bindings for the native host runtime (see vbr_host.cpp).
+
+Provides:
+  * :class:`PrefetchingSource` — threaded multi-camera decode with a
+    bounded ring buffer (overlaps host decode with device compute).
+  * :class:`MOGOracle` — the actual ``cv::bgsegm`` C++ MOG model, used as
+    the parity oracle for the JAX implementation (the Python cv2 wheel
+    here lacks the bgsegm contrib module).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB = None
+
+
+def _lib():
+    global _LIB
+    if _LIB is None:
+        from vbr_tpu.native.build import build
+
+        path = build()
+        lib = ctypes.CDLL(path)
+        lib.vbr_source_open.restype = ctypes.c_void_p
+        lib.vbr_source_open.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ]
+        lib.vbr_source_dims.restype = ctypes.c_int
+        lib.vbr_source_dims.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.vbr_source_next.restype = ctypes.c_int
+        lib.vbr_source_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.vbr_source_close.argtypes = [ctypes.c_void_p]
+
+        lib.vbr_mog_create.restype = ctypes.c_void_p
+        lib.vbr_mog_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ]
+        lib.vbr_mog_apply.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_void_p,
+        ]
+        lib.vbr_mog_release.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    return _LIB
+
+
+class PrefetchingSource:
+    """Threaded synchronized multi-camera video source (C++ ring buffer)."""
+
+    def __init__(self, paths: Sequence[str], queue_capacity: int = 8):
+        lib = _lib()
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths]
+        )
+        self._h = lib.vbr_source_open(arr, len(paths), queue_capacity)
+        if not self._h:
+            raise FileNotFoundError(f"cannot open videos: {list(paths)}")
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        self.num_cameras = lib.vbr_source_dims(self._h, w, h)
+        self.width, self.height = w.value, h.value
+
+    def next_frames(self) -> Optional[np.ndarray]:
+        """(C, H, W, 3) u8 BGR batch, or None at end of any stream."""
+        out = np.empty(
+            (self.num_cameras, self.height, self.width, 3), np.uint8
+        )
+        ok = _lib().vbr_source_next(self._h, out.ctypes.data_as(ctypes.c_void_p))
+        return out if ok else None
+
+    def close(self):
+        if self._h:
+            _lib().vbr_source_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class MOGOracle:
+    """cv::bgsegm::BackgroundSubtractorMOG via C++ (parity oracle)."""
+
+    def __init__(self, history=200, nmixtures=5, background_ratio=0.7,
+                 noise_sigma=0.0):
+        self._h = _lib().vbr_mog_create(
+            history, nmixtures, background_ratio, noise_sigma
+        )
+
+    def apply(self, frame: np.ndarray, learning_rate: float = -1.0):
+        frame = np.ascontiguousarray(frame, dtype=np.uint8)
+        H, W, _ = frame.shape
+        out = np.empty((H, W), np.uint8)
+        _lib().vbr_mog_apply(
+            self._h,
+            frame.ctypes.data_as(ctypes.c_void_p),
+            H, W,
+            learning_rate,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out
+
+    def __del__(self):
+        try:
+            if self._h:
+                _lib().vbr_mog_release(self._h)
+        except Exception:
+            pass

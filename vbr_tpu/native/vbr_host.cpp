@@ -1,0 +1,188 @@
+// vbr_host — native host runtime for the TPU reconstruction framework.
+//
+// Two subsystems, exposed through a plain C API for ctypes:
+//
+//  1. Multi-camera video ingest with threaded prefetch: each camera's
+//     decode runs on its own worker thread into a bounded ring buffer of
+//     synchronized frame-sets, so TPU compute overlaps with host decode
+//     (the pipeline-parallel stage the reference lacks — its decode is
+//     inline and sequential, assignment.py:94).
+//
+//  2. A thin wrapper over cv::bgsegm::BackgroundSubtractorMOG — the exact
+//     C++ model the reference's production path uses
+//     (background_subtraction.py:70-71).  The Python cv2 wheel in this
+//     environment lacks the bgsegm contrib module, so this binding serves
+//     as the parity oracle for the JAX MOG implementation (and as a host
+//     fallback model).
+//
+// Build: see build.py (g++ -O2 -shared, links opencv core/videoio/bgsegm).
+
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <opencv2/bgsegm.hpp>
+#include <opencv2/core.hpp>
+#include <opencv2/videoio.hpp>
+
+namespace {
+
+struct FrameSet {
+  std::vector<cv::Mat> frames;  // one BGR frame per camera
+  bool end_of_stream = false;
+};
+
+class MultiSource {
+ public:
+  MultiSource(const std::vector<std::string>& paths, int queue_capacity)
+      : capacity_(queue_capacity), stop_(false), eos_(false) {
+    for (const auto& p : paths) {
+      caps_.emplace_back(p);
+      if (!caps_.back().isOpened()) {
+        ok_ = false;
+        return;
+      }
+    }
+    width_ = static_cast<int>(caps_[0].get(cv::CAP_PROP_FRAME_WIDTH));
+    height_ = static_cast<int>(caps_[0].get(cv::CAP_PROP_FRAME_HEIGHT));
+    worker_ = std::thread(&MultiSource::DecodeLoop, this);
+  }
+
+  ~MultiSource() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_space_.notify_all();
+    cv_data_.notify_all();
+    if (worker_.joinable()) worker_.join();
+  }
+
+  bool ok() const { return ok_; }
+  int width() const { return width_; }
+  int height() const { return height_; }
+  int num_cameras() const { return static_cast<int>(caps_.size()); }
+
+  // Copies the next synchronized frame-set into out (C, H, W, 3) u8.
+  // Returns 1 on success, 0 at end of stream.
+  int Next(uint8_t* out) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_data_.wait(lk, [&] { return !queue_.empty() || stop_; });
+    if (queue_.empty()) return 0;
+    FrameSet fs = std::move(queue_.front());
+    queue_.pop_front();
+    lk.unlock();
+    cv_space_.notify_one();
+    if (fs.end_of_stream) return 0;
+    const size_t frame_bytes =
+        static_cast<size_t>(height_) * width_ * 3;
+    for (size_t c = 0; c < fs.frames.size(); ++c) {
+      cv::Mat m = fs.frames[c];
+      if (!m.isContinuous()) m = m.clone();
+      std::memcpy(out + c * frame_bytes, m.data, frame_bytes);
+    }
+    return 1;
+  }
+
+ private:
+  void DecodeLoop() {
+    while (true) {
+      FrameSet fs;
+      fs.frames.resize(caps_.size());
+      bool ok_all = true;
+      for (size_t c = 0; c < caps_.size(); ++c) {
+        if (!caps_[c].read(fs.frames[c])) {
+          ok_all = false;
+          break;
+        }
+      }
+      if (!ok_all) fs.end_of_stream = true;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_space_.wait(
+            lk, [&] { return static_cast<int>(queue_.size()) < capacity_ ||
+                             stop_; });
+        if (stop_) return;
+        queue_.push_back(std::move(fs));
+      }
+      cv_data_.notify_one();
+      if (!ok_all) return;
+    }
+  }
+
+  std::vector<cv::VideoCapture> caps_;
+  std::deque<FrameSet> queue_;
+  int capacity_;
+  std::mutex mu_;
+  std::condition_variable cv_data_, cv_space_;
+  std::thread worker_;
+  bool stop_, eos_;
+  bool ok_ = true;
+  int width_ = 0, height_ = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---- multi-camera prefetching source ----
+
+void* vbr_source_open(const char** paths, int num_cameras,
+                      int queue_capacity) {
+  std::vector<std::string> ps;
+  for (int i = 0; i < num_cameras; ++i) ps.emplace_back(paths[i]);
+  auto* src = new MultiSource(ps, queue_capacity);
+  if (!src->ok()) {
+    delete src;
+    return nullptr;
+  }
+  return src;
+}
+
+int vbr_source_dims(void* handle, int* width, int* height) {
+  auto* src = static_cast<MultiSource*>(handle);
+  *width = src->width();
+  *height = src->height();
+  return src->num_cameras();
+}
+
+int vbr_source_next(void* handle, uint8_t* out) {
+  return static_cast<MultiSource*>(handle)->Next(out);
+}
+
+void vbr_source_close(void* handle) {
+  delete static_cast<MultiSource*>(handle);
+}
+
+// ---- cv::bgsegm MOG oracle ----
+
+void* vbr_mog_create(int history, int nmixtures, double background_ratio,
+                     double noise_sigma) {
+  auto model = cv::bgsegm::createBackgroundSubtractorMOG(
+      history, nmixtures, background_ratio, noise_sigma);
+  // keep the smart pointer alive behind a raw handle
+  return new cv::Ptr<cv::bgsegm::BackgroundSubtractorMOG>(model);
+}
+
+// frame: (H, W, 3) u8; writes the (H, W) u8 mask into out.
+void vbr_mog_apply(void* handle, const uint8_t* frame, int height, int width,
+                   double learning_rate, uint8_t* out) {
+  auto* ptr =
+      static_cast<cv::Ptr<cv::bgsegm::BackgroundSubtractorMOG>*>(handle);
+  cv::Mat img(height, width, CV_8UC3, const_cast<uint8_t*>(frame));
+  cv::Mat mask;
+  (*ptr)->apply(img, mask, learning_rate);
+  std::memcpy(out, mask.data, static_cast<size_t>(height) * width);
+}
+
+void vbr_mog_release(void* handle) {
+  delete static_cast<cv::Ptr<cv::bgsegm::BackgroundSubtractorMOG>*>(handle);
+}
+
+}  // extern "C"

@@ -152,12 +152,13 @@ def clean_mask(
     border_roots = jnp.where(
         (border & bg).reshape(-1), labels_b.reshape(-1), 2**30
     )
-    # mark background labels that touch the border
+    # mark background labels that touch the border (int32 scatter-max —
+    # bool scatters have triggered TPU runtime faults)
     is_outside_root = (
-        jnp.zeros((H * W,), jnp.bool_)
+        jnp.zeros((H * W,), jnp.int32)
         .at[jnp.where(border_roots < 2**30, border_roots, 0)]
-        .max(border_roots < 2**30)
-    )
+        .max((border_roots < 2**30).astype(jnp.int32))
+    ) > 0
     flat_b = labels_b.reshape(-1)
     valid_b = flat_b < 2**30
     outside = valid_b & is_outside_root[jnp.where(valid_b, flat_b, 0)]
@@ -176,10 +177,10 @@ def clean_mask(
     # per-hole: any pixel adjacent to a kept fg pixel
     hole_idx = jnp.where(hole, flat_b, 0)
     hole_touch_kept = (
-        jnp.zeros((H * W,), jnp.bool_)
+        jnp.zeros((H * W,), jnp.int32)
         .at[hole_idx]
-        .max(hole & kept_adjacent)
-    )
+        .max((hole & kept_adjacent).astype(jnp.int32))
+    ) > 0
     in_kept_hole = hole & hole_touch_kept[hole_idx]
 
     # 4. Hole area in cv2.contourArea terms: the traced polygon rides on

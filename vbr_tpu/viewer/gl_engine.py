@@ -1,0 +1,358 @@
+"""Minimal modern-GL engine: shaders, instanced cubes, camera, HDR chain.
+
+The presentation layer consuming device-computed arrays (SURVEY.md §2b):
+replaces the reference's ``engine/`` package (Shader/Program wrappers,
+instanced Mesh with per-instance position+color VBOs at divisor 1, HDR
+multisampled framebuffer with tonemap).  Written fresh for GL 3.3 core;
+only the *live* behavior of the reference is reproduced (flat instance
+colors — the reference's Blinn-Phong result is overwritten in its
+fragment shader, resources/shaders/frag.fs:78-79 — and its blur shader is
+a passthrough, which we knowingly fix with a real Gaussian).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional
+
+import numpy as np
+
+try:
+    from OpenGL import GL as gl
+
+    HAVE_GL = True
+except Exception:  # pragma: no cover
+    HAVE_GL = False
+
+
+VERT_SRC = """
+#version 330 core
+layout(location = 0) in vec3 in_pos;
+layout(location = 1) in vec3 in_instance_pos;
+layout(location = 2) in vec3 in_instance_color;
+uniform mat4 u_view_proj;
+uniform float u_scale;
+out vec3 v_color;
+void main() {
+    vec3 world = in_pos * u_scale + in_instance_pos;
+    gl_Position = u_view_proj * vec4(world, 1.0);
+    v_color = in_instance_color;
+}
+"""
+
+FRAG_SRC = """
+#version 330 core
+in vec3 v_color;
+layout(location = 0) out vec4 out_color;
+layout(location = 1) out vec4 out_bright;
+void main() {
+    out_color = vec4(v_color, 1.0);
+    float brightness = dot(v_color, vec3(0.2126, 0.7152, 0.0722));
+    out_bright = brightness > 1.0 ? vec4(v_color, 1.0) : vec4(0.0, 0.0, 0.0, 1.0);
+}
+"""
+
+QUAD_VERT = """
+#version 330 core
+layout(location = 0) in vec2 in_pos;
+out vec2 v_uv;
+void main() {
+    v_uv = in_pos * 0.5 + 0.5;
+    gl_Position = vec4(in_pos, 0.0, 1.0);
+}
+"""
+
+BLUR_FRAG = """
+#version 330 core
+in vec2 v_uv;
+out vec4 out_color;
+uniform sampler2D u_image;
+uniform bool u_horizontal;
+const float w[5] = float[](0.227027, 0.1945946, 0.1216216, 0.054054, 0.016216);
+void main() {
+    vec2 texel = 1.0 / vec2(textureSize(u_image, 0));
+    vec3 acc = texture(u_image, v_uv).rgb * w[0];
+    for (int i = 1; i < 5; ++i) {
+        vec2 off = u_horizontal ? vec2(texel.x * i, 0.0) : vec2(0.0, texel.y * i);
+        acc += texture(u_image, v_uv + off).rgb * w[i];
+        acc += texture(u_image, v_uv - off).rgb * w[i];
+    }
+    out_color = vec4(acc, 1.0);
+}
+"""
+
+HDR_FRAG = """
+#version 330 core
+in vec2 v_uv;
+out vec4 out_color;
+uniform sampler2D u_scene;
+uniform sampler2D u_bloom;
+uniform float u_exposure;
+uniform float u_gamma;
+void main() {
+    vec3 hdr = texture(u_scene, v_uv).rgb + texture(u_bloom, v_uv).rgb;
+    vec3 mapped = vec3(1.0) - exp(-hdr * u_exposure);
+    out_color = vec4(pow(mapped, vec3(1.0 / u_gamma)), 1.0);
+}
+"""
+
+# Reference tonemap constants (resources/shaders/hdr.fs:13-14 behavior)
+EXPOSURE = 0.72
+GAMMA = 1.1
+
+CUBE_VERTS = np.array(
+    [
+        # 36 verts (12 tris), unit cube centered at origin
+        -1, -1, -1, 1, -1, -1, 1, 1, -1, 1, 1, -1, -1, 1, -1, -1, -1, -1,
+        -1, -1, 1, 1, 1, 1, 1, -1, 1, 1, 1, 1, -1, -1, 1, -1, 1, 1,
+        -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1,
+        1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1,
+        -1, -1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, -1, -1, -1, 1,
+        -1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, 1, -1, 1, -1,
+    ],
+    dtype=np.float32,
+) * 0.5
+
+
+def perspective(fov_deg, aspect, near, far):
+    f = 1.0 / np.tan(np.radians(fov_deg) / 2)
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = f / aspect
+    m[1, 1] = f
+    m[2, 2] = (far + near) / (near - far)
+    m[2, 3] = 2 * far * near / (near - far)
+    m[3, 2] = -1.0
+    return m
+
+
+def look_at_gl(eye, center, up):
+    eye = np.asarray(eye, np.float32)
+    f = np.asarray(center, np.float32) - eye
+    f /= np.linalg.norm(f)
+    s = np.cross(f, np.asarray(up, np.float32))
+    s /= np.linalg.norm(s)
+    u = np.cross(s, f)
+    m = np.eye(4, dtype=np.float32)
+    m[0, :3] = s
+    m[1, :3] = u
+    m[2, :3] = -f
+    m[:3, 3] = -m[:3, :3] @ eye
+    return m
+
+
+class FlyCamera:
+    """Pitch/yaw WASD camera (engine/camera.py equivalent: starts above
+    the scene pitched down, executable.py:16)."""
+
+    def __init__(self, position=(0.0, 100.0, 0.0), pitch=-90.0, yaw=0.0):
+        self.position = np.asarray(position, np.float32)
+        self.pitch = pitch
+        self.yaw = yaw
+
+    @property
+    def front(self):
+        cp = np.cos(np.radians(self.pitch))
+        return np.array(
+            [
+                np.cos(np.radians(self.yaw)) * cp,
+                np.sin(np.radians(self.pitch)),
+                np.sin(np.radians(self.yaw)) * cp,
+            ],
+            np.float32,
+        )
+
+    def rotate(self, dyaw, dpitch):
+        self.yaw += dyaw
+        self.pitch = float(np.clip(self.pitch + dpitch, -89.9, 89.9))
+
+    def move(self, forward=0.0, right=0.0, speed=1.0):
+        f = self.front
+        r = np.cross(f, [0, 1, 0])
+        r /= max(np.linalg.norm(r), 1e-9)
+        self.position = self.position + speed * (forward * f + right * r)
+
+    def view_matrix(self):
+        return look_at_gl(self.position, self.position + self.front, (0, 1, 0))
+
+
+def compile_program(vs_src: str, fs_src: str) -> int:
+    def compile_shader(src, kind):
+        sh = gl.glCreateShader(kind)
+        gl.glShaderSource(sh, src)
+        gl.glCompileShader(sh)
+        if not gl.glGetShaderiv(sh, gl.GL_COMPILE_STATUS):
+            raise RuntimeError(gl.glGetShaderInfoLog(sh).decode())
+        return sh
+
+    vs = compile_shader(vs_src, gl.GL_VERTEX_SHADER)
+    fs = compile_shader(fs_src, gl.GL_FRAGMENT_SHADER)
+    prog = gl.glCreateProgram()
+    gl.glAttachShader(prog, vs)
+    gl.glAttachShader(prog, fs)
+    gl.glLinkProgram(prog)
+    if not gl.glGetProgramiv(prog, gl.GL_LINK_STATUS):
+        raise RuntimeError(gl.glGetProgramInfoLog(prog).decode())
+    gl.glDeleteShader(vs)
+    gl.glDeleteShader(fs)
+    return prog
+
+
+class InstancedCubes:
+    """VAO with static cube geometry + dynamic per-instance position/color
+    VBOs at divisor 1 (engine/renderable/mesh.py:62-67,80-94 equivalent)."""
+
+    def __init__(self, max_instances: int = 2_200_000):
+        self.max_instances = max_instances
+        self.count = 0
+        self.vao = gl.glGenVertexArrays(1)
+        gl.glBindVertexArray(self.vao)
+
+        self.vbo_geom = gl.glGenBuffers(1)
+        gl.glBindBuffer(gl.GL_ARRAY_BUFFER, self.vbo_geom)
+        gl.glBufferData(gl.GL_ARRAY_BUFFER, CUBE_VERTS.nbytes, CUBE_VERTS,
+                        gl.GL_STATIC_DRAW)
+        gl.glEnableVertexAttribArray(0)
+        gl.glVertexAttribPointer(0, 3, gl.GL_FLOAT, False, 12, None)
+
+        self.vbo_pos = gl.glGenBuffers(1)
+        gl.glBindBuffer(gl.GL_ARRAY_BUFFER, self.vbo_pos)
+        gl.glBufferData(gl.GL_ARRAY_BUFFER, max_instances * 12, None,
+                        gl.GL_DYNAMIC_DRAW)
+        gl.glEnableVertexAttribArray(1)
+        gl.glVertexAttribPointer(1, 3, gl.GL_FLOAT, False, 12, None)
+        gl.glVertexAttribDivisor(1, 1)
+
+        self.vbo_col = gl.glGenBuffers(1)
+        gl.glBindBuffer(gl.GL_ARRAY_BUFFER, self.vbo_col)
+        gl.glBufferData(gl.GL_ARRAY_BUFFER, max_instances * 12, None,
+                        gl.GL_DYNAMIC_DRAW)
+        gl.glEnableVertexAttribArray(2)
+        gl.glVertexAttribPointer(2, 3, gl.GL_FLOAT, False, 12, None)
+        gl.glVertexAttribDivisor(2, 1)
+        gl.glBindVertexArray(0)
+
+    def set_instances(self, positions: np.ndarray, colors: np.ndarray):
+        positions = np.ascontiguousarray(positions, np.float32)
+        colors = np.ascontiguousarray(colors, np.float32)
+        self.count = min(len(positions), self.max_instances)
+        gl.glBindBuffer(gl.GL_ARRAY_BUFFER, self.vbo_pos)
+        gl.glBufferSubData(gl.GL_ARRAY_BUFFER, 0, positions[: self.count].nbytes,
+                           positions[: self.count])
+        gl.glBindBuffer(gl.GL_ARRAY_BUFFER, self.vbo_col)
+        gl.glBufferSubData(gl.GL_ARRAY_BUFFER, 0, colors[: self.count].nbytes,
+                           colors[: self.count])
+
+    def draw(self):
+        if self.count:
+            gl.glBindVertexArray(self.vao)
+            gl.glDrawArraysInstanced(gl.GL_TRIANGLES, 0, 36, self.count)
+            gl.glBindVertexArray(0)
+
+
+class HDRPipeline:
+    """RGB16F scene+bright framebuffer → ping-pong Gaussian bloom →
+    exposure/gamma tonemap to the default framebuffer
+    (engine/buffer/hdrbuffer.py + effect/bloom.py equivalent)."""
+
+    def __init__(self, width: int, height: int, blur_passes: int = 10):
+        self.w, self.h = width, height
+        self.blur_passes = blur_passes
+        self.fbo = gl.glGenFramebuffers(1)
+        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
+        self.tex_scene, self.tex_bright = gl.glGenTextures(2)
+        for i, tex in enumerate((self.tex_scene, self.tex_bright)):
+            gl.glBindTexture(gl.GL_TEXTURE_2D, tex)
+            gl.glTexImage2D(gl.GL_TEXTURE_2D, 0, gl.GL_RGB16F, width, height,
+                            0, gl.GL_RGB, gl.GL_FLOAT, None)
+            gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MIN_FILTER,
+                               gl.GL_LINEAR)
+            gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MAG_FILTER,
+                               gl.GL_LINEAR)
+            gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_WRAP_S,
+                               gl.GL_CLAMP_TO_EDGE)
+            gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_WRAP_T,
+                               gl.GL_CLAMP_TO_EDGE)
+            gl.glFramebufferTexture2D(
+                gl.GL_FRAMEBUFFER, gl.GL_COLOR_ATTACHMENT0 + i,
+                gl.GL_TEXTURE_2D, tex, 0,
+            )
+        self.rbo = gl.glGenRenderbuffers(1)
+        gl.glBindRenderbuffer(gl.GL_RENDERBUFFER, self.rbo)
+        gl.glRenderbufferStorage(gl.GL_RENDERBUFFER, gl.GL_DEPTH_COMPONENT24,
+                                 width, height)
+        gl.glFramebufferRenderbuffer(gl.GL_FRAMEBUFFER, gl.GL_DEPTH_ATTACHMENT,
+                                     gl.GL_RENDERBUFFER, self.rbo)
+        gl.glDrawBuffers(2, [gl.GL_COLOR_ATTACHMENT0, gl.GL_COLOR_ATTACHMENT1])
+
+        # ping-pong blur buffers
+        self.pp_fbo = gl.glGenFramebuffers(2)
+        self.pp_tex = gl.glGenTextures(2)
+        for i in range(2):
+            gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.pp_fbo[i])
+            gl.glBindTexture(gl.GL_TEXTURE_2D, self.pp_tex[i])
+            gl.glTexImage2D(gl.GL_TEXTURE_2D, 0, gl.GL_RGB16F, width, height,
+                            0, gl.GL_RGB, gl.GL_FLOAT, None)
+            gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MIN_FILTER,
+                               gl.GL_LINEAR)
+            gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MAG_FILTER,
+                               gl.GL_LINEAR)
+            gl.glFramebufferTexture2D(gl.GL_FRAMEBUFFER, gl.GL_COLOR_ATTACHMENT0,
+                                      gl.GL_TEXTURE_2D, self.pp_tex[i], 0)
+        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, 0)
+
+        self.prog_blur = compile_program(QUAD_VERT, BLUR_FRAG)
+        self.prog_hdr = compile_program(QUAD_VERT, HDR_FRAG)
+        quad = np.array([-1, -1, 1, -1, -1, 1, 1, 1], np.float32)
+        self.quad_vao = gl.glGenVertexArrays(1)
+        vbo = gl.glGenBuffers(1)
+        gl.glBindVertexArray(self.quad_vao)
+        gl.glBindBuffer(gl.GL_ARRAY_BUFFER, vbo)
+        gl.glBufferData(gl.GL_ARRAY_BUFFER, quad.nbytes, quad, gl.GL_STATIC_DRAW)
+        gl.glEnableVertexAttribArray(0)
+        gl.glVertexAttribPointer(0, 2, gl.GL_FLOAT, False, 8, None)
+        gl.glBindVertexArray(0)
+
+    def bind_scene(self):
+        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
+        gl.glViewport(0, 0, self.w, self.h)
+
+    def _draw_quad(self):
+        gl.glBindVertexArray(self.quad_vao)
+        gl.glDrawArrays(gl.GL_TRIANGLE_STRIP, 0, 4)
+        gl.glBindVertexArray(0)
+
+    def resolve(self):
+        """Bloom + tonemap into the default framebuffer."""
+        gl.glDisable(gl.GL_DEPTH_TEST)
+        horizontal = True
+        first = True
+        gl.glUseProgram(self.prog_blur)
+        for _ in range(self.blur_passes):
+            gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.pp_fbo[int(horizontal)])
+            gl.glUniform1i(
+                gl.glGetUniformLocation(self.prog_blur, "u_horizontal"),
+                int(horizontal),
+            )
+            gl.glActiveTexture(gl.GL_TEXTURE0)
+            gl.glBindTexture(
+                gl.GL_TEXTURE_2D,
+                self.tex_bright if first else self.pp_tex[int(not horizontal)],
+            )
+            self._draw_quad()
+            horizontal = not horizontal
+            first = False
+
+        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, 0)
+        gl.glClear(gl.GL_COLOR_BUFFER_BIT)
+        gl.glUseProgram(self.prog_hdr)
+        gl.glUniform1f(gl.glGetUniformLocation(self.prog_hdr, "u_exposure"),
+                       EXPOSURE)
+        gl.glUniform1f(gl.glGetUniformLocation(self.prog_hdr, "u_gamma"), GAMMA)
+        gl.glUniform1i(gl.glGetUniformLocation(self.prog_hdr, "u_scene"), 0)
+        gl.glUniform1i(gl.glGetUniformLocation(self.prog_hdr, "u_bloom"), 1)
+        gl.glActiveTexture(gl.GL_TEXTURE0)
+        gl.glBindTexture(gl.GL_TEXTURE_2D, self.tex_scene)
+        gl.glActiveTexture(gl.GL_TEXTURE1)
+        gl.glBindTexture(gl.GL_TEXTURE_2D, self.pp_tex[int(not horizontal)])
+        self._draw_quad()
+        gl.glEnable(gl.GL_DEPTH_TEST)
