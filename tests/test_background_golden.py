@@ -1,0 +1,56 @@
+"""End-to-end background-subtraction parity on the real dataset (slow).
+
+Gates (measured: 0.9990 / 0.9919 on cam1):
+  * raw-mask IoU vs the actual cv::bgsegm C++ MOG (native oracle) ≥ 0.99
+  * cleaned-mask IoU vs the shipped golden mask_MOG.jpg ≥ 0.97
+Run with: pytest -m slow tests/test_background_golden.py
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.mark.slow
+def test_cam1_mask_parity(data_dir):
+    import cv2
+
+    from vbr_tpu.native import MOGOracle
+    from vbr_tpu.ops import gmm
+    from vbr_tpu.pipelines import background
+    from vbr_tpu.utils import video as vio
+    from vbr_tpu.utils.config import DEFAULT_MASK_PARAMS, MOGParams
+
+    bg = vio.read_video(os.path.join(data_dir, "cam1", "background.avi"))
+    test = vio.read_video(
+        os.path.join(data_dir, "cam1", "video.avi"), max_frames=1
+    )[0]
+    params = MOGParams(history=bg.shape[0])
+
+    oracle = MOGOracle(history=bg.shape[0], nmixtures=50,
+                       background_ratio=0.9, noise_sigma=0)
+    for fr in bg:
+        oracle.apply(cv2.cvtColor(fr, cv2.COLOR_BGR2HSV), -1)
+    mask_cv = oracle.apply(cv2.cvtColor(test, cv2.COLOR_BGR2HSV), 0)
+
+    state = gmm.train_mog(bg, params)
+    mask_jax = np.asarray(gmm.extract_mask(state, test, params))
+
+    a, b = mask_cv > 0, mask_jax > 0
+    iou_raw = (a & b).sum() / max((a | b).sum(), 1)
+    assert iou_raw >= 0.99, f"raw MOG IoU {iou_raw}"
+
+    golden = cv2.imread(os.path.join(data_dir, "cam1", "mask_MOG.jpg"), 0) > 127
+    cleaned = (
+        np.asarray(
+            background.extract_foreground_mask(
+                state, test, DEFAULT_MASK_PARAMS[0], params
+            )
+        )
+        > 0
+    )
+    iou_clean = (golden & cleaned).sum() / max((golden | cleaned).sum(), 1)
+    assert iou_clean >= 0.97, f"cleaned-vs-golden IoU {iou_clean}"
