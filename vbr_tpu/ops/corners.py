@@ -492,3 +492,89 @@ def _canonical_order(corners: np.ndarray, pattern_size) -> np.ndarray:
     if grid[:, 0, 0].mean() > grid[:, -1, 0].mean():
         grid = grid[:, ::-1]
     return grid.reshape(-1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Manual-corner interpolation path (the reference's fallback when
+# auto-detection fails: camera_calibration.py:136-248).  The interactive
+# click UI is host-side (apps); these are the geometric kernels.
+# ---------------------------------------------------------------------------
+
+
+def sort_corners_clockwise(corners4: np.ndarray) -> np.ndarray:
+    """Order 4 points clockwise starting from the top-left
+    (sort_corners_clockwise, camera_calibration.py:136-160 semantics)."""
+    pts = np.asarray(corners4, dtype=np.float64).reshape(4, 2)
+    center = pts.mean(axis=0)
+    ang = np.arctan2(pts[:, 1] - center[1], pts[:, 0] - center[0])
+    order = np.argsort(ang)  # counter-clockwise in image coords = clockwise visually
+    pts = pts[order]
+    # rotate so the first point is the top-left (min x+y)
+    start = np.argmin(pts.sum(axis=1))
+    return np.roll(pts, -start, axis=0)
+
+
+def interpolate_image_points_from_corners(
+    corners4: np.ndarray,
+    pattern_size: Tuple[int, int] = (8, 6),
+    corners_are_outer: bool = True,
+) -> np.ndarray:
+    """All inner corners from 4 clicked corners via a homography
+    (interpolate_image_points_from_corners, camera_calibration.py:163-248).
+
+    ``corners_are_outer``: the clicks are the physical board corners (the
+    board spans (cols+1)×(rows+1) squares), so the inner lattice sits one
+    square inside; otherwise the clicks are the extreme inner corners.
+    Returns (cols·rows, 2) row-major corners.
+    """
+    cols, rows = pattern_size
+    quad = sort_corners_clockwise(corners4)
+    if corners_are_outer:
+        ideal_quad = np.array(
+            [[0, 0], [cols + 1, 0], [cols + 1, rows + 1], [0, rows + 1]],
+            dtype=np.float64,
+        )
+        inner = np.array(
+            [[x, y] for y in range(1, rows + 1) for x in range(1, cols + 1)],
+            dtype=np.float64,
+        )
+    else:
+        ideal_quad = np.array(
+            [[0, 0], [cols - 1, 0], [cols - 1, rows - 1], [0, rows - 1]],
+            dtype=np.float64,
+        )
+        inner = np.array(
+            [[x, y] for y in range(rows) for x in range(cols)], dtype=np.float64
+        )
+    Hm = cam_ops.perspective_transform_4pt(ideal_quad, quad, xp=np)
+    return cam_ops.apply_homography(Hm, inner, xp=np)
+
+
+def extract_board_quad(
+    bgr_image: np.ndarray,
+    bg_model_mask: Optional[np.ndarray] = None,
+    white_threshold: int = 175,
+) -> Optional[np.ndarray]:
+    """Estimate the 4 outer board corners from a (roughly segmented) image
+    (extract_corners, camera_calibration.py:251-296 capability): contrast
+    equalization → white-region threshold → convex hull → max-area quad."""
+    from vbr_tpu.ops import color as color_ops
+    import jax.numpy as jnp
+
+    gray = np.asarray(color_ops.bgr_to_gray_u8(jnp.asarray(bgr_image)))
+    if bg_model_mask is not None:
+        gray = np.where(bg_model_mask > 0, gray, 0)
+    eq = np.asarray(color_ops.equalize_hist_u8(jnp.asarray(gray)))
+    white = eq > white_threshold
+    ys, xs = np.nonzero(white)
+    if len(xs) < 100:
+        return None
+    pts = np.stack([xs, ys], axis=-1).astype(np.float64)
+    # subsample for hull speed
+    if len(pts) > 4000:
+        pts = pts[:: len(pts) // 4000]
+    hull = _convex_hull(pts)
+    if len(hull) < 4:
+        return None
+    quads = _quad_candidates(hull, top_k=1)
+    return sort_corners_clockwise(quads[0]) if quads else None
