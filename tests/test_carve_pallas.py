@@ -1,0 +1,84 @@
+"""Blocked Pallas carve kernel vs the float64 table path (interpret mode).
+
+The compiled-on-TPU path is exercised by bench.py and scripts; interpret
+mode locks the kernel's arithmetic (one-hot matmul gather, bit packing,
+2^-b exponent trick, color panels) bit-exactly in CI.
+"""
+
+import numpy as np
+import pytest
+
+from vbr_tpu.ops import carve, carve_pallas
+from vbr_tpu.utils.config import GridConfig
+
+
+@pytest.fixture(scope="module")
+def small_setup(rig_cameras, golden_masks, first_frames):
+    grid = GridConfig(nx=16, ny=16, nz=16)
+    tables = carve.build_projection_tables(rig_cameras, grid, (486, 644))
+    btab = carve_pallas.build_block_tables(
+        rig_cameras, grid, (486, 644), sub=(8, 8, 8), sup=(1, 1, 1)
+    )
+    return grid, tables, btab
+
+
+class TestBlockedKernel:
+    def test_occupancy_and_colors_bit_exact(
+        self, small_setup, golden_masks, first_frames
+    ):
+        import jax.numpy as jnp
+
+        grid, tables, btab = small_setup
+        occ_p, col_p = carve_pallas.carve_blocked(
+            jnp.asarray(golden_masks), jnp.asarray(first_frames[1]), btab,
+            views_threshold=4, interpret=True,
+        )
+        occ_t, col_t = carve.carve_from_tables(
+            jnp.asarray(golden_masks), jnp.asarray(first_frames),
+            tables.valid, tables.lin_idx, views_threshold=4, color_camera=1,
+        )
+        occ_p, col_p = np.asarray(occ_p), np.asarray(col_p)
+        occ_t, col_t = np.asarray(occ_t), np.asarray(col_t)
+        np.testing.assert_array_equal(occ_p, occ_t)
+        assert occ_p.sum() > 0
+        np.testing.assert_array_equal(col_p[occ_t], col_t[occ_t])
+
+    def test_threshold_3(self, small_setup, golden_masks, first_frames):
+        import jax.numpy as jnp
+
+        grid, tables, btab = small_setup
+        occ_p, _ = carve_pallas.carve_blocked(
+            jnp.asarray(golden_masks), jnp.asarray(first_frames[1]), btab,
+            views_threshold=3, interpret=True,
+        )
+        occ_t, _ = carve.carve_from_tables(
+            jnp.asarray(golden_masks), jnp.asarray(first_frames),
+            tables.valid, tables.lin_idx, views_threshold=3, color_camera=1,
+        )
+        np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_t))
+
+    def test_packing_helpers_exact(self, golden_masks, first_frames):
+        import jax.numpy as jnp
+
+        packed = np.asarray(
+            carve_pallas.pack_masks(
+                jnp.asarray(golden_masks), Hp=536, n_words=81
+            )
+        ).astype(np.float64)
+        # unpack word 0 of row 0, cam 0 and compare to the mask bits
+        bits = (golden_masks[0, 0, :8] > 0).astype(np.int64)
+        expected = (bits * (2 ** np.arange(8))).sum()
+        assert packed[0, 0, 0] == expected
+
+        planes = np.asarray(
+            carve_pallas.pack_image(jnp.asarray(first_frames[1]), Hp=536, Wc=768)
+        )
+        assert planes.shape == (2, 3, 536, 768)
+        np.testing.assert_array_equal(
+            planes[0, :, :486, :644].astype(np.uint8),
+            np.transpose(first_frames[1], (2, 0, 1)),
+        )
+        # shifted copy property: copy1[:, :, x] == copy0[:, :, x+64]
+        np.testing.assert_array_equal(
+            planes[1, :, :486, : 644 - 64], planes[0, :, :486, 64:644]
+        )

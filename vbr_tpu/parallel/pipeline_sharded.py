@@ -1,0 +1,113 @@
+"""Full sharded per-frame production step over the (data, cam, grid) mesh.
+
+The multi-chip version of VisualHull.process_frame: per-camera frozen GMM
+apply + morphology run sharded over (data=frames, cam=cameras) — both
+purely local — then the carve gathers run sharded over (cam, grid) with a
+``psum`` view-count reduction over the camera axis.  This is the step
+``__graft_entry__.dryrun_multichip`` compiles and executes on the virtual
+mesh (SURVEY.md §2c's DP/TP/SP mapping).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vbr_tpu.ops import gmm as gmm_ops
+
+VAR_THRESHOLD = gmm_ops.VAR_THRESHOLD
+
+
+def sharded_pipeline_step(mesh: Mesh, *, views_threshold: int = 4):
+    """Build the jitted sharded step.
+
+    Signature:
+        step(frames_hsv (F, C, H, W, 3) u8,
+             weight (C, H, W, K), mean (C, H, W, K, 3), var (C, H, W, K),
+             bg_ratio (),
+             valid (C, N) bool, lin_idx (C, N) i32)
+          -> occupancy (F, N) bool
+
+    frames sharded (data, cam); GMM state sharded (cam); carve tables
+    sharded (cam, grid).  Masks flow shard-locally from the GMM stage into
+    the carve stage — no resharding between stages.
+    """
+
+    def _local(frames, weight, mean, var, bg_ratio, valid, lin_idx):
+        f, c, H, W, _ = frames.shape
+
+        def apply_one(frame, w, mu, v):
+            x = frame.astype(jnp.float32)
+            diff = x[..., None, :] - mu
+            d2 = jnp.sum(diff * diff, axis=-1)
+            matched = (d2 < VAR_THRESHOLD * 3.0 * v) & (w > 1e-7)
+            any_match = matched.any(axis=-1)
+            first = jnp.argmax(matched, axis=-1)
+            cumw = jnp.cumsum(w, axis=-1)
+            over = cumw > bg_ratio
+            k_fg = jnp.argmax(over, axis=-1) + 1
+            k_fg = jnp.where(over.any(axis=-1), k_fg, w.shape[-1])
+            fg = ~(any_match & (first < k_fg))
+            # 3×3 opening (erode+dilate) — shard-local morphology
+            fgi = fg.astype(jnp.int32)
+            er = -jax.lax.reduce_window(
+                -fgi, -1, jax.lax.max, (3, 3), (1, 1), ((1, 1), (1, 1))
+            )
+            di = jax.lax.reduce_window(
+                er, 0, jax.lax.max, (3, 3), (1, 1), ((1, 1), (1, 1))
+            )
+            return di > 0
+
+        # vmap over local frames × local cameras
+        masks = jax.vmap(
+            lambda fr: jax.vmap(apply_one)(fr, weight, mean, var)
+        )(frames)  # (f, c, H, W) bool
+
+        masks_flat = masks.reshape(f, c, H * W)
+
+        def carve_frame(mf):
+            def per_cam(m, v, idx):
+                return v & jnp.take(m, idx, axis=0)
+
+            vis = jax.vmap(per_cam)(mf, valid, lin_idx)
+            return jnp.sum(vis.astype(jnp.int32), axis=0)
+
+        partial = jax.vmap(carve_frame)(masks_flat)  # (f, n)
+        count = jax.lax.psum(partial, axis_name="cam")
+        return count >= views_threshold
+
+    mapped = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(
+            P("data", "cam", None, None, None),  # frames
+            P("cam", None, None, None),  # weight
+            P("cam", None, None, None, None),  # mean
+            P("cam", None, None, None),  # var
+            P(),  # bg_ratio
+            P("cam", "grid"),  # valid
+            P("cam", "grid"),  # lin_idx
+        ),
+        out_specs=P("data", "grid"),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def place_pipeline_inputs(mesh, frames_hsv, weight, mean, var, bg_ratio,
+                          valid, lin_idx):
+    put = lambda x, spec: jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    return (
+        put(frames_hsv, P("data", "cam", None, None, None)),
+        put(weight, P("cam", None, None, None)),
+        put(mean, P("cam", None, None, None, None)),
+        put(var, P("cam", None, None, None)),
+        put(jnp.float32(bg_ratio), P()),
+        put(valid, P("cam", "grid")),
+        put(lin_idx, P("cam", "grid")),
+    )
