@@ -94,3 +94,22 @@ class TestCleanMask:
         ref = reference_clean(m, 300, 50)
         agree = (ours == ref).mean()
         assert agree > 0.98, f"agreement {agree}"
+
+
+class TestHostBackend:
+    def test_host_matches_device(self):
+        noise = RNG.uniform(size=(100, 140)).astype(np.float32)
+        blur = cv2.GaussianBlur(noise, (31, 31), 8)
+        m = (blur > np.quantile(blur, 0.7)).astype(np.uint8) * 255
+        a = np.asarray(ccl.clean_mask(m, 400, 60))
+        b = ccl.clean_mask_host(m, 400, 60)
+        np.testing.assert_array_equal(a, b)
+
+    def test_host_matches_reference_walk(self):
+        m = np.zeros((100, 120), np.uint8)
+        m[10:90, 10:110] = 255
+        m[30:50, 30:50] = 0
+        m[60:65, 70:75] = 0
+        ours = ccl.clean_mask_host(m, 5000, 115)
+        ref = reference_clean(m, 5000, 115)
+        assert (ours == ref).mean() > 0.995

