@@ -145,25 +145,36 @@ def apply_frozen(state: MOGState, frame: jnp.ndarray, params: MOGParams):
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
+def _train_chunk(state: MOGState, frames_hsv: jnp.ndarray, params: MOGParams):
+    def step(st, frame):
+        return update(st, frame, params), None
+
+    state, _ = jax.lax.scan(step, state, frames_hsv)
+    return state
+
+
 def train_mog(
     frames: np.ndarray,  # (T, H, W, 3) uint8 BGR
     params: MOGParams = MOGParams(),
+    chunk: int = 16,
 ) -> MOGState:
     """Train a MOG model over a frame sequence with ``lax.scan``.
 
     Mirrors ``train_MOG_background_model`` (background_subtraction.py:49-87):
     sequential frames, auto learning rate, optional BGR→HSV conversion.
+
+    The scan is dispatched in ``chunk``-frame pieces: keeps each device
+    program short (long single programs can trip runtime watchdogs on
+    tunneled TPU setups) and overlaps host decode with device compute.
     """
     T, H, W, _ = frames.shape
-    frames_d = jnp.asarray(frames)
-    if params.use_hsv:
-        frames_d = jax.vmap(color_ops.bgr_to_hsv_u8)(frames_d)
     state = init_state((H, W), params)
-
-    def step(st, frame):
-        return update(st, frame, params), None
-
-    state, _ = jax.lax.scan(step, state, frames_d)
+    for start in range(0, T, chunk):
+        part = jnp.asarray(frames[start : start + chunk])
+        if params.use_hsv:
+            part = jax.vmap(color_ops.bgr_to_hsv_u8)(part)
+        state = _train_chunk(state, part, params)
     return state
 
 
@@ -281,17 +292,24 @@ def apply_mog2(state: MOG2State, frame: jnp.ndarray, params: MOG2Params):
     return jnp.where(matched_bg, jnp.uint8(0), jnp.uint8(255))
 
 
-def train_mog2(frames: np.ndarray, params: MOG2Params = MOG2Params()):
-    T, H, W, _ = frames.shape
-    frames_d = jnp.asarray(frames)
-    if params.use_hsv:
-        frames_d = jax.vmap(color_ops.bgr_to_hsv_u8)(frames_d)
-    state = init_mog2((H, W), params)
-
+@functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
+def _train_chunk_mog2(state, frames_hsv, params: MOG2Params):
     def step(st, fr):
         return update_mog2(st, fr, params), None
 
-    state, _ = jax.lax.scan(step, state, frames_d)
+    state, _ = jax.lax.scan(step, state, frames_hsv)
+    return state
+
+
+def train_mog2(frames: np.ndarray, params: MOG2Params = MOG2Params(),
+               chunk: int = 16):
+    T, H, W, _ = frames.shape
+    state = init_mog2((H, W), params)
+    for start in range(0, T, chunk):
+        part = jnp.asarray(frames[start : start + chunk])
+        if params.use_hsv:
+            part = jax.vmap(color_ops.bgr_to_hsv_u8)(part)
+        state = _train_chunk_mog2(state, part, params)
     return state
 
 
@@ -366,17 +384,24 @@ def apply_knn(state: KNNState, frame: jnp.ndarray, params: KNNParams):
     return jnp.where(close >= params.k_neighbors, jnp.uint8(0), jnp.uint8(255))
 
 
-def train_knn(frames: np.ndarray, params: KNNParams = KNNParams()):
-    T, H, W, _ = frames.shape
-    frames_d = jnp.asarray(frames)
-    if params.use_hsv:
-        frames_d = jax.vmap(color_ops.bgr_to_hsv_u8)(frames_d)
-    state = init_knn((H, W), params)
-
+@functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
+def _train_chunk_knn(state, frames_hsv, params: KNNParams):
     def step(st, fr):
         return update_knn(st, fr, params), None
 
-    state, _ = jax.lax.scan(step, state, frames_d)
+    state, _ = jax.lax.scan(step, state, frames_hsv)
+    return state
+
+
+def train_knn(frames: np.ndarray, params: KNNParams = KNNParams(),
+              chunk: int = 16):
+    T, H, W, _ = frames.shape
+    state = init_knn((H, W), params)
+    for start in range(0, T, chunk):
+        part = jnp.asarray(frames[start : start + chunk])
+        if params.use_hsv:
+            part = jax.vmap(color_ops.bgr_to_hsv_u8)(part)
+        state = _train_chunk_knn(state, part, params)
     return state
 
 
