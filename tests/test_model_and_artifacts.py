@@ -132,3 +132,50 @@ class TestReports:
         p3 = str(tmp_path / "mesh.png")
         reports.plot_mesh_snapshot(tris, p3)
         assert os.path.getsize(p3) > 5000
+
+
+class TestFastPath:
+    def test_fast_matches_slow(self):
+        """process_frame_fast must be bit-identical to the per-camera path."""
+        cams, masks, frames = synthetic.synthetic_rig()
+        grid = GridConfig(
+            nx=16, ny=16, nz=16,
+            x_min=-900, x_max=1100, y_min=-1050, y_max=950,
+            z_min=-1700, z_max=300,
+        )
+        model = VisualHull(cams, grid, RigConfig())
+        # fabricate trained states: single mixture centered on HSV of frames
+        import jax
+        import jax.numpy as jnp
+
+        from vbr_tpu.ops import color as color_ops
+        from vbr_tpu.ops import gmm
+        from vbr_tpu.utils.config import MOGParams
+
+        hsv = np.asarray(jax.vmap(color_ops.bgr_to_hsv_u8)(jnp.asarray(frames)))
+        K = 5
+        states = []
+        for c in range(4):
+            w = np.zeros((486, 644, K), np.float32)
+            w[..., 0] = 1.0
+            mu = np.zeros((486, 644, K, 3), np.float32)
+            mu[..., 0, :] = hsv[c]
+            var = np.full((486, 644, K), 225.0, np.float32)
+            states.append(
+                gmm.MOGState(jnp.asarray(w), jnp.asarray(mu), jnp.asarray(var),
+                             jnp.asarray(100))
+            )
+        model.bg_states = states
+        model.mog_params = [MOGParams()] * 4
+
+        # perturb the frames so foreground appears
+        test = frames.copy()
+        test[:, 100:300, 200:420] = 255
+
+        occ_slow, col_slow = model.process_frame(test)
+        occ_fast, col_fast = model.process_frame_fast(test)
+        occ_slow, occ_fast = np.asarray(occ_slow), np.asarray(occ_fast)
+        np.testing.assert_array_equal(occ_fast, occ_slow)
+        np.testing.assert_array_equal(
+            np.asarray(col_fast)[occ_slow], np.asarray(col_slow)[occ_slow]
+        )

@@ -116,6 +116,43 @@ class VisualHull:
             color_camera=self.rig.color_camera,
         )
 
+    def process_frame_fast(self, frames: np.ndarray):
+        """Latency-optimized full step: 2 device dispatches per frame.
+
+        Dispatch 1 runs HSV + frozen GMM apply + pre-morphology for ALL
+        cameras in one program; the contour cleanup runs on host (native
+        CCL, identical output); dispatch 2 fuses post-morphology with the
+        carve.  Identical results to :meth:`process_frame`; ~4× fewer
+        host↔device round trips (each costs ~30 ms on tunneled setups).
+        """
+        if getattr(self, "_stacked_bg", None) is None:
+            self._stacked_bg = background.stack_states(self.bg_states)
+            self._mask_params_t = tuple(self.mask_params)
+        frames_d = jnp.asarray(frames)
+        raw = background.raw_masks_batched(
+            self._stacked_bg, frames_d, self._mask_params_t, self.mog_params[0]
+        )
+        raw_h = np.asarray(raw)
+        cleaned = np.stack(
+            [
+                background.ccl.clean_mask_host(
+                    raw_h[c],
+                    self.mask_params[c].figure_threshold,
+                    self.mask_params[c].inner_threshold,
+                )
+                for c in range(raw_h.shape[0])
+            ]
+        )
+        return _finalize_and_carve(
+            jnp.asarray(cleaned),
+            frames_d,
+            self.tables.valid,
+            self.tables.lin_idx,
+            mask_params=self._mask_params_t,
+            views_threshold=self.rig.views_threshold,
+            color_camera=self.rig.color_camera,
+        )
+
     def viewer_arrays(self, frames: np.ndarray, masks=None):
         """(positions, colors) in viewer coordinates (assignment contract)."""
         occ, col = self.process_frame(frames, masks)
@@ -151,3 +188,24 @@ class VisualHull:
         self.bg_states = states
         self.mog_params = [MOGParams() for _ in states]
         return True
+
+
+import functools
+
+import jax
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mask_params", "views_threshold", "color_camera"),
+)
+def _finalize_and_carve(
+    cleaned, frames, valid, lin_idx, *, mask_params, views_threshold,
+    color_camera,
+):
+    """Fused post-morphology + carve (one device program)."""
+    masks = background.finalize_masks_batched.__wrapped__(cleaned, mask_params)
+    return carve_ops.carve_from_tables.__wrapped__(
+        masks, frames, valid, lin_idx,
+        views_threshold=views_threshold, color_camera=color_camera,
+    )

@@ -9,13 +9,16 @@ followed by morphology and the CCL-based contour cleanup.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from vbr_tpu.ops import ccl, gmm, morphology
+from vbr_tpu.ops import color as _color_ops
 from vbr_tpu.utils.config import DEFAULT_MASK_PARAMS, MaskParams, MOGParams
 from vbr_tpu.utils import video as video_io
 
@@ -114,3 +117,68 @@ class BackgroundPipeline:
                 )
             )
         return np.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Batched fast path: all cameras in one dispatch per stage
+# ---------------------------------------------------------------------------
+
+
+def stack_states(states: Sequence[gmm.MOGState]) -> gmm.MOGState:
+    """Stack per-camera MOG states along a leading camera axis."""
+    return gmm.MOGState(
+        weight=jnp.stack([s.weight for s in states]),
+        mean=jnp.stack([s.mean for s in states]),
+        var=jnp.stack([s.var for s in states]),
+        nframes=jnp.stack([s.nframes for s in states]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mask_params", "mog_params"))
+def raw_masks_batched(
+    stacked: gmm.MOGState,
+    frames: jnp.ndarray,  # (C, H, W, 3) u8 BGR
+    mask_params: tuple,  # per-camera MaskParams (static)
+    mog_params: MOGParams,
+) -> jnp.ndarray:
+    """One dispatch: HSV + frozen GMM apply + per-camera pre-morphology.
+
+    The per-camera morphology flags are static config, so the camera loop
+    unrolls at trace time (4 slightly-different branches in one program).
+    """
+    hsv = jax.vmap(_color_ops.bgr_to_hsv_u8)(frames) if mog_params.use_hsv \
+        else frames
+
+    def apply_cam(c):
+        st = gmm.MOGState(
+            weight=stacked.weight[c], mean=stacked.mean[c],
+            var=stacked.var[c], nframes=stacked.nframes[c],
+        )
+        raw = gmm.apply_frozen(st, hsv[c], mog_params)
+        mp = mask_params[c]
+        if mp.opening_pre:
+            raw = morphology.opening(raw, (3, 3))
+        if mp.closing_pre:
+            raw = morphology.closing(raw, (3, 3))
+        return raw
+
+    return jnp.stack([apply_cam(c) for c in range(frames.shape[0])])
+
+
+@functools.partial(jax.jit, static_argnames=("mask_params",))
+def finalize_masks_batched(
+    cleaned: jnp.ndarray,  # (C, H, W) u8 after CCL cleanup
+    mask_params: tuple,
+) -> jnp.ndarray:
+    """One dispatch: per-camera post-morphology + binarize."""
+
+    def post(c):
+        m = cleaned[c]
+        mp = mask_params[c]
+        if mp.opening_post:
+            m = morphology.opening(m, (2, 2))
+        if mp.closing_post:
+            m = morphology.closing(m, (2, 2))
+        return jnp.where(m > 0, jnp.uint8(255), jnp.uint8(0))
+
+    return jnp.stack([post(c) for c in range(cleaned.shape[0])])
