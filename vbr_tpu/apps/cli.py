@@ -30,7 +30,19 @@ def _add_common(p):
     p.add_argument("--out-dir", default="artifacts")
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache",
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _maybe_cpu(args):
+    _enable_compile_cache()
     if args.cpu:
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
@@ -188,6 +200,44 @@ def cmd_render(args):
     print(f"wrote {png} ({len(pos)} voxels)")
 
 
+def cmd_pipeline(args):
+    """Streaming production loop: native prefetch decode → batched mask
+    stage → host CCL → fused carve; per-frame latency stats."""
+    _maybe_cpu(args)
+    from vbr_tpu.models import VisualHull
+    from vbr_tpu.native import PrefetchingSource
+    from vbr_tpu.pipelines import reconstruction
+    from vbr_tpu.utils.config import GridConfig
+
+    model = VisualHull.from_data_dir(
+        args.data, GridConfig(nx=args.grid, ny=args.grid, nz=args.grid)
+    )
+    src = PrefetchingSource(
+        [os.path.join(args.data, f"cam{i}", "video.avi")
+         for i in range(1, 5)]
+    )
+    times = []
+    i = 0
+    while args.frames <= 0 or i < args.frames:
+        frames = src.next_frames()
+        if frames is None:
+            break
+        t0 = time.time()
+        occ, col = model.process_frame_fast(frames)
+        _ = np.asarray(occ.ravel()[:1])
+        times.append(time.time() - t0)
+        if args.ply and i == 0:
+            from vbr_tpu.ops import carve as carve_ops
+
+            pos, rgb = carve_ops.compact_voxels(occ, col, model.grid)
+            reconstruction.write_ply(args.ply, pos, rgb)
+        i += 1
+    src.close()
+    tm = np.array(times[min(3, len(times) - 1):])
+    print(f"{len(times)} frames: {tm.mean()*1e3:.0f} ms/frame "
+          f"({1/max(tm.mean(), 1e-9):.2f} fps)")
+
+
 def cmd_view(args):
     from vbr_tpu.utils.config import AppConfig
     from vbr_tpu.viewer import app as viewer_app
@@ -232,6 +282,13 @@ def main(argv=None):
     p.add_argument("--grid", type=int, default=128)
     p.add_argument("--png", default="")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("pipeline")
+    _add_common(p)
+    p.add_argument("--frames", type=int, default=20)
+    p.add_argument("--grid", type=int, default=128)
+    p.add_argument("--ply", default="")
+    p.set_defaults(fn=cmd_pipeline)
 
     p = sub.add_parser("view")
     _add_common(p)

@@ -153,6 +153,29 @@ class VisualHull:
             color_camera=self.rig.color_camera,
         )
 
+    def textured_frame(self, frames: np.ndarray, masks=None):
+        """Carve + per-voxel color from the nearest non-occluded camera
+        (BASELINE config 3 — upgrades the reference's camera-2-only
+        coloring, assignment.py:133).
+
+        Returns (occupancy (N,), colors (N, 3) u8, cam_choice (N,) i8).
+        """
+        from vbr_tpu.ops import texturing
+
+        if getattr(self, "_tex_tables", None) is None:
+            self._tex_tables = texturing.build_texturing_tables(
+                self.cameras, self.grid,
+                (self.rig.image_height, self.rig.image_width),
+            )
+        occ, _ = self.process_frame(frames, masks)
+        colors, cam_choice = texturing.textured_colors(
+            occ, jnp.asarray(frames),
+            self._tex_tables.valid, self._tex_tables.lin_idx,
+            self._tex_tables.depth,
+            image_hw=(self.rig.image_height, self.rig.image_width),
+        )
+        return occ, colors, cam_choice
+
     def viewer_arrays(self, frames: np.ndarray, masks=None):
         """(positions, colors) in viewer coordinates (assignment contract)."""
         occ, col = self.process_frame(frames, masks)
