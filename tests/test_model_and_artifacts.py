@@ -179,3 +179,23 @@ class TestFastPath:
         np.testing.assert_array_equal(
             np.asarray(col_fast)[occ_slow], np.asarray(col_slow)[occ_slow]
         )
+
+
+class TestManualCornerSession:
+    def test_click_flow(self):
+        from vbr_tpu.apps.manual_corners import ManualCornerSession
+
+        gray = np.full((300, 400), 128, np.uint8)
+        s = ManualCornerSession(gray, (8, 6), refine=False)
+        assert not s.done
+        s.click(40, 30)
+        s.click(360, 30)
+        s.undo()
+        s.click(361, 31)
+        s.click(361, 271)
+        s.click(41, 269)
+        assert s.done
+        assert s.result.shape == (48, 2)
+        # interpolated lattice lies inside the clicked quad
+        assert s.result[:, 0].min() > 40 and s.result[:, 0].max() < 362
+        assert s.result[:, 1].min() > 30 and s.result[:, 1].max() < 272
