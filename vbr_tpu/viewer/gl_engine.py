@@ -356,3 +356,86 @@ class HDRPipeline:
         gl.glBindTexture(gl.GL_TEXTURE_2D, self.pp_tex[int(not horizontal)])
         self._draw_quad()
         gl.glEnable(gl.GL_DEPTH_TEST)
+
+
+SHADOW_DEPTH_VERT = """
+#version 330 core
+layout(location = 0) in vec3 in_pos;
+layout(location = 1) in vec3 in_instance_pos;
+uniform mat4 u_light_space;
+uniform float u_scale;
+void main() {
+    gl_Position = u_light_space * vec4(in_pos * u_scale + in_instance_pos, 1.0);
+}
+"""
+
+SHADOW_DEPTH_FRAG = """
+#version 330 core
+void main() {}  // depth-only pass
+"""
+
+
+def ortho(left, right, bottom, top, near, far):
+    m = np.eye(4, dtype=np.float32)
+    m[0, 0] = 2 / (right - left)
+    m[1, 1] = 2 / (top - bottom)
+    m[2, 2] = -2 / (far - near)
+    m[0, 3] = -(right + left) / (right - left)
+    m[1, 3] = -(top + bottom) / (top - bottom)
+    m[2, 3] = -(far + near) / (far - near)
+    return m
+
+
+class ShadowPipeline:
+    """Orthographic light-space depth pass (shadow mapping).
+
+    Functional counterpart of the reference's engine/effect/shadow.py —
+    which is scaffolding that executable.py never instantiates (its
+    fragment shader's shadow term is overwritten by the flat instance
+    color, SURVEY.md §2 row 22).  Provided here as a working component:
+    render the scene into the depth texture with ``bind``/``unbind`` and
+    sample it in a lighting shader via ``light_space`` and ``depth_tex``.
+    """
+
+    def __init__(self, size: int = 2048,
+                 light_pos=(30.0, 60.0, 30.0), extent: float = 80.0):
+        self.size = size
+        self.light_space = (
+            ortho(-extent, extent, -extent, extent, 1.0, 200.0)
+            @ look_at_gl(light_pos, (0, 0, 0), (0, 1, 0))
+        )
+        self.fbo = gl.glGenFramebuffers(1)
+        self.depth_tex = gl.glGenTextures(1)
+        gl.glBindTexture(gl.GL_TEXTURE_2D, self.depth_tex)
+        gl.glTexImage2D(gl.GL_TEXTURE_2D, 0, gl.GL_DEPTH_COMPONENT24, size,
+                        size, 0, gl.GL_DEPTH_COMPONENT, gl.GL_FLOAT, None)
+        for p, v in (
+            (gl.GL_TEXTURE_MIN_FILTER, gl.GL_NEAREST),
+            (gl.GL_TEXTURE_MAG_FILTER, gl.GL_NEAREST),
+            (gl.GL_TEXTURE_WRAP_S, gl.GL_CLAMP_TO_BORDER),
+            (gl.GL_TEXTURE_WRAP_T, gl.GL_CLAMP_TO_BORDER),
+        ):
+            gl.glTexParameteri(gl.GL_TEXTURE_2D, p, v)
+        gl.glTexParameterfv(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_BORDER_COLOR,
+                            np.ones(4, np.float32))
+        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
+        gl.glFramebufferTexture2D(gl.GL_FRAMEBUFFER, gl.GL_DEPTH_ATTACHMENT,
+                                  gl.GL_TEXTURE_2D, self.depth_tex, 0)
+        gl.glDrawBuffer(gl.GL_NONE)
+        gl.glReadBuffer(gl.GL_NONE)
+        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, 0)
+        self.prog = compile_program(SHADOW_DEPTH_VERT, SHADOW_DEPTH_FRAG)
+
+    def bind(self):
+        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
+        gl.glViewport(0, 0, self.size, self.size)
+        gl.glClear(gl.GL_DEPTH_BUFFER_BIT)
+        gl.glUseProgram(self.prog)
+        gl.glUniformMatrix4fv(
+            gl.glGetUniformLocation(self.prog, "u_light_space"), 1, True,
+            self.light_space.astype(np.float32),
+        )
+
+    def unbind(self, viewport_wh):
+        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, 0)
+        gl.glViewport(0, 0, *viewport_wh)
