@@ -177,6 +177,11 @@ def cmd_mesh(args):
 
 
 def cmd_render(args):
+    if args.gl:
+        # must precede any OpenGL import
+        os.environ.setdefault("EGL_PLATFORM", "surfaceless")
+        os.environ.setdefault("PYOPENGL_PLATFORM", "egl")
+        os.environ.setdefault("LIBGL_ALWAYS_SOFTWARE", "1")
     _maybe_cpu(args)
     from vbr_tpu.pipelines import reconstruction
     from vbr_tpu.utils import video as vio
@@ -188,16 +193,58 @@ def cmd_render(args):
     src.release()
     masks = pipe.masks_for_frames(frames)
     pos, col = recon.carve_frame_compact(masks, frames)
-    img = headless.render_points(pos, col)
-    floor_pos, floor_col = reconstruction.generate_grid(64, 64)
-    cam_pos, cam_col = reconstruction.get_cam_positions(cams)
-    headless.render_floor_and_cameras(
-        img, np.asarray(floor_pos), np.asarray(floor_col),
-        np.asarray(cam_pos, float), cam_col,
-    )
     png = args.png or os.path.join(args.out_dir, "render.png")
+    if args.gl:
+        img = _render_gl_offscreen(pos, col, cams)
+    else:
+        img = headless.render_points(pos, col)
+        floor_pos, floor_col = reconstruction.generate_grid(64, 64)
+        cam_pos, cam_col = reconstruction.get_cam_positions(cams)
+        headless.render_floor_and_cameras(
+            img, np.asarray(floor_pos), np.asarray(floor_col),
+            np.asarray(cam_pos, float), cam_col,
+        )
     headless.save_png(png, img)
     print(f"wrote {png} ({len(pos)} voxels)")
+
+
+def _render_gl_offscreen(pos, col, cams, wh=(1280, 720)):
+    """Render the scene through the REAL GL engine (EGL surfaceless)."""
+    from OpenGL import GL as gl
+
+    from vbr_tpu.pipelines import reconstruction
+    from vbr_tpu.viewer import gl_engine as eng
+    from vbr_tpu.viewer.offscreen import OffscreenContext
+
+    W, H = wh
+    with OffscreenContext(W, H) as ctx:
+        gl.glEnable(gl.GL_DEPTH_TEST)
+        prog = eng.compile_program(eng.VERT_SRC, eng.FRAG_SRC)
+        cubes = eng.InstancedCubes()
+        floor = eng.InstancedCubes(max_instances=130 * 130)
+        cam_marks = eng.InstancedCubes(max_instances=16)
+        hdr = eng.HDRPipeline(W, H)
+        cubes.set_instances(np.asarray(pos, np.float32), np.asarray(col, np.float32))
+        fp, fc = reconstruction.generate_grid(64, 64)
+        floor.set_instances(np.asarray(fp, np.float32), np.asarray(fc, np.float32))
+        cp, cc = reconstruction.get_cam_positions(cams)
+        cam_marks.set_instances(np.asarray(cp, np.float32), np.asarray(cc, np.float32))
+
+        camera = eng.FlyCamera(position=(28.0, 26.0, 28.0), pitch=-35.0, yaw=-135.0)
+        hdr.bind_scene()
+        gl.glClearColor(0.05, 0.05, 0.07, 1.0)
+        gl.glClear(gl.GL_COLOR_BUFFER_BIT | gl.GL_DEPTH_BUFFER_BIT)
+        vp = eng.perspective(45.0, W / H, 0.1, 500.0) @ camera.view_matrix()
+        gl.glUseProgram(prog)
+        gl.glUniformMatrix4fv(
+            gl.glGetUniformLocation(prog, "u_view_proj"), 1, True,
+            vp.astype(np.float32),
+        )
+        for mesh, scale in ((floor, 1.0), (cubes, 0.35), (cam_marks, 1.5)):
+            gl.glUniform1f(gl.glGetUniformLocation(prog, "u_scale"), scale)
+            mesh.draw()
+        hdr.resolve(target_fbo=ctx._fbo)
+        return ctx.read_pixels()
 
 
 def cmd_pipeline(args):
@@ -281,6 +328,8 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--grid", type=int, default=128)
     p.add_argument("--png", default="")
+    p.add_argument("--gl", action="store_true",
+                   help="render through the real GL engine (EGL offscreen)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("pipeline")

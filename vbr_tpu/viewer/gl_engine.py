@@ -321,8 +321,8 @@ class HDRPipeline:
         gl.glDrawArrays(gl.GL_TRIANGLE_STRIP, 0, 4)
         gl.glBindVertexArray(0)
 
-    def resolve(self):
-        """Bloom + tonemap into the default framebuffer."""
+    def resolve(self, target_fbo: int = 0):
+        """Bloom + tonemap into ``target_fbo`` (0 = window backbuffer)."""
         gl.glDisable(gl.GL_DEPTH_TEST)
         horizontal = True
         first = True
@@ -342,7 +342,7 @@ class HDRPipeline:
             horizontal = not horizontal
             first = False
 
-        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, 0)
+        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, target_fbo)
         gl.glClear(gl.GL_COLOR_BUFFER_BIT)
         gl.glUseProgram(self.prog_hdr)
         gl.glUniform1f(gl.glGetUniformLocation(self.prog_hdr, "u_exposure"),
