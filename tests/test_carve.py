@@ -133,3 +133,20 @@ class TestCompaction:
         np.testing.assert_allclose(positions[:, 0], np.trunc(pts[:, 0]) / 64.0)
         np.testing.assert_allclose(positions[:, 1], -np.trunc(pts[:, 2]) / 64.0)
         np.testing.assert_allclose(positions[:, 2], np.trunc(pts[:, 1]) / 64.0)
+
+
+class TestAcceleratedTables:
+    def test_accelerated_build_is_exact(self, rig_cameras):
+        grid = GridConfig(nx=40, ny=40, nz=40)
+        fast = carve.build_projection_tables(
+            rig_cameras, grid, (486, 644), accelerate=True
+        )
+        exact = carve.build_projection_tables(
+            rig_cameras, grid, (486, 644), accelerate=False
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fast.valid), np.asarray(exact.valid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fast.lin_idx), np.asarray(exact.lin_idx)
+        )
