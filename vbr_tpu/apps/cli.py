@@ -66,6 +66,54 @@ def cmd_calibrate(args):
     )
     board = (bw, bh)
     cams = [int(c) for c in args.cams.split(",")]
+
+    if args.mode == "extrinsics":
+        # the reference's extrinsic step (camera_calibration.py:954-974):
+        # intrinsics are known; detect corners on one checkerboard frame
+        # and solve the planar pose
+        for cam in cams:
+            cam_dir = os.path.join(args.data, f"cam{cam}")
+            K, dist, _, _ = xmlio.load_camera_config(cam_dir)
+            cap = cv2.VideoCapture(os.path.join(cam_dir, args.video))
+            pose = None
+            fi = 0
+            while fi < max(args.stop_frame, 60):
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+                pts = corner_ops.detect_chessboard(gray, board)
+                if pts is not None:
+                    obj = calibration.chessboard_object_points(board, square)
+                    rvec, tvec, inliers = calibration.solve_pnp_ransac(
+                        obj, pts, K, dist
+                    )
+                    from vbr_tpu.pipelines import validation
+
+                    err = validation.reprojection_error(
+                        obj[inliers], pts[inliers], K, dist, rvec, tvec
+                    )
+                    pose = (rvec, tvec, err, fi)
+                    break
+                fi += 1
+            cap.release()
+            if pose is None:
+                print(f"cam{cam}: no frame with detected corners — use the "
+                      "manual corner session (apps/manual_corners.py)")
+                continue
+            rvec, tvec, err, fi = pose
+            out = os.path.join(args.out_dir, f"cam{cam}")
+            xmlio.save_camera_config(out, K, dist, rvec, tvec)
+            print(f"cam{cam}: pose from frame {fi}, reproj {err:.2f}px, "
+                  f"wrote {out}/config.xml")
+            print(f"cam{cam}: note — an {board[0]}x{board[1]} board has a "
+                  "180° rotational symmetry, so the auto-detected corner "
+                  "ordering fixes the world frame only up to that rotation; "
+                  "for a multi-camera rig, either click corners in a "
+                  "consistent order (manual session) or align orientations "
+                  "across cameras afterwards")
+        return
+
     for cam in cams:
         cam_dir = os.path.join(args.data, f"cam{cam}")
         video = os.path.join(cam_dir, args.video)
@@ -300,6 +348,8 @@ def main(argv=None):
 
     p = sub.add_parser("calibrate")
     _add_common(p)
+    p.add_argument("--mode", choices=("intrinsics", "extrinsics"),
+                   default="intrinsics")
     p.add_argument("--cams", default="1,2,3,4")
     p.add_argument("--video", default="checkerboard.avi")
     p.add_argument("--frame-interval", type=int, default=10)
