@@ -140,6 +140,28 @@ def cmd_calibrate(args):
         res = calibration.calibrate_camera(image_points, (w, h), board, square)
         print(f"cam{cam}: rms={res.rms:.3f}px fx={res.K[0,0]:.2f} "
               f"fy={res.K[1,1]:.2f} cx={res.K[0,2]:.2f} cy={res.K[1,2]:.2f}")
+        runs = [dict(label="all views", rms=res.rms,
+                     per_view_errors=res.per_view_errors, K=res.K,
+                     intrinsic_std=res.intrinsic_std)]
+        if args.discard:
+            kept, kept_idx, _, dropped = calibration.discard_bad_image_points(
+                image_points, (w, h), board, square,
+                discard_threshold=args.discard_threshold,
+            )
+            if dropped:
+                print(f"cam{cam}: discarded views {dropped}")
+                res = calibration.calibrate_camera(kept, (w, h), board, square)
+                runs.append(dict(label="after discard", rms=res.rms,
+                                 per_view_errors=res.per_view_errors,
+                                 K=res.K, intrinsic_std=res.intrinsic_std))
+                print(f"cam{cam}: rms after discard {res.rms:.3f}px")
+        from vbr_tpu.pipelines import reports
+
+        reports.plot_intrinsic_results(
+            runs,
+            os.path.join(args.out_dir,
+                         f"intrinsic_params_cam{cam}.png"),
+        )
         out = os.path.join(args.out_dir, f"cam{cam}")
         xmlio.save_camera_config(
             out, res.K, res.dist, res.rvecs[0], res.tvecs[0],
@@ -354,6 +376,10 @@ def main(argv=None):
     p.add_argument("--video", default="checkerboard.avi")
     p.add_argument("--frame-interval", type=int, default=10)
     p.add_argument("--stop-frame", type=int, default=0)
+    p.add_argument("--discard", action="store_true",
+                   help="leave-one-out view discarding (reference "
+                        "camera_calibration.py:522-563)")
+    p.add_argument("--discard-threshold", type=float, default=0.15)
     p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("masks")

@@ -199,7 +199,11 @@ def extract_mask(
 class MOG2Params:
     n_mixtures: int = 5
     history: int = 500
-    var_threshold: float = 16.0  # Tb: squared-Mahalanobis background gate
+    # Gates are on the TOTAL squared distance: ||x−μ||² < T · var, where
+    # var tracks the 3-channel-summed variance (black-box calibrated
+    # against cv2: constant training decays var to var_min=4 → fg flips at
+    # Δ=5 for Tb=16; noisy training gives var≈3σ² clipped at var_max=75).
+    var_threshold: float = 16.0  # Tb: background gate
     var_threshold_gen: float = 9.0  # Tg: ownership gate for updates
     bg_ratio: float = 0.9
     var_init: float = 15.0
@@ -239,8 +243,8 @@ def update_mog2(state: MOG2State, frame: jnp.ndarray,
 
     diff = x[..., None, :] - mu
     d2 = jnp.sum(diff * diff, axis=-1)
-    # ownership: closest component within Tg·var (per-channel avg variance)
-    maha = d2 / jnp.maximum(3.0 * var, 1e-6)
+    # ownership: closest component within Tg·var (total variance)
+    maha = d2 / jnp.maximum(var, 1e-6)
     fits = (maha < params.var_threshold_gen) & (w > 0)
     # closest fitting component
     maha_masked = jnp.where(fits, maha, jnp.inf)
@@ -253,7 +257,7 @@ def update_mog2(state: MOG2State, frame: jnp.ndarray,
     w_new = jnp.maximum(w_new, 0.0)
     rho = alpha / jnp.maximum(w_new, 1e-6)
     mu_new = jnp.where(own[..., None], mu + rho[..., None] * diff, mu)
-    var_cand = var + rho * (d2 / 3.0 - var)
+    var_cand = var + rho * (d2 - var)
     var_new = jnp.where(
         own, jnp.clip(var_cand, params.var_min, params.var_max), var
     )
@@ -277,7 +281,7 @@ def apply_mog2(state: MOG2State, frame: jnp.ndarray, params: MOG2Params):
     w, mu, var = state.weight, state.mean, state.var
     diff = x[..., None, :] - mu
     d2 = jnp.sum(diff * diff, axis=-1)
-    maha = d2 / jnp.maximum(3.0 * var, 1e-6)
+    maha = d2 / jnp.maximum(var, 1e-6)
     cumw = jnp.cumsum(w, axis=-1)
     # background components: leading set with cumulative weight <= ratio
     # (plus the first crossing one)
