@@ -47,6 +47,7 @@ def main():
                 return carve.carve_from_tables(
                     masks_d, frames_d, tables.valid, tables.lin_idx,
                     views_threshold=n_cams, color_camera=1,
+                    packed_colors=(g >= 512),
                 )
 
             occ, col = step()

@@ -199,3 +199,24 @@ class TestManualCornerSession:
         # interpolated lattice lies inside the clicked quad
         assert s.result[:, 0].min() > 40 and s.result[:, 0].max() < 362
         assert s.result[:, 1].min() > 30 and s.result[:, 1].max() < 272
+
+
+class TestAssignmentAPI:
+    def test_contract_shapes(self, data_dir, monkeypatch):
+        """The 4-function reference seam works end-to-end (small grid)."""
+        from vbr_tpu.apps import assignment_api
+
+        assignment_api.configure(data_dir)
+        data, colors = assignment_api.generate_grid(4, 4)
+        assert len(data) == 16 and len(colors) == 16
+
+        pos, cc = assignment_api.get_cam_positions()
+        assert len(pos) == 4 and len(cc) == 4
+
+        rots = assignment_api.get_cam_rotation_matrices()
+        assert len(rots) == 4
+        for r in rots:
+            assert np.asarray(r).shape == (4, 4)
+            np.testing.assert_allclose(
+                np.linalg.det(np.asarray(r)[:3, :3]), 1.0, atol=1e-6
+            )

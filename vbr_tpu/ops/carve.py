@@ -75,52 +75,69 @@ def build_projection_tables(
 
     eps = 2e-3  # ≫ observed f32 projection error (~1e-4 px at 644-px scale)
     xs, ys, zs = grid.axis_ranges()
-    # build the point grid on-device (hosts here can be single-core)
+    pts64 = None  # lazily built only if needed
+
+    @functools.partial(jax.jit, static_argnames=("hw",))
+    def _device_tables(jx, jy, jz, rvec, tvec, K, dist, hw):
+        """f32 projection + trunc tables + boundary-suspicion flags,
+        entirely on device (only the suspicious set leaves the chip)."""
+        h, w = hw
+        gx, gy, gz = jnp.meshgrid(jx, jy, jz, indexing="ij")
+        pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        uv = cam_ops.project_points(pts, rvec, tvec, K, dist, xp=jnp)
+        x, y = uv[:, 0], uv[:, 1]
+        fx = x - jnp.floor(x)
+        fy = y - jnp.floor(y)
+        suspicious = (
+            (fx < eps) | (fx > 1 - eps) | (fy < eps) | (fy > 1 - eps)
+            | (jnp.abs(x) < eps) | (jnp.abs(x - w) < eps)
+            | (jnp.abs(y) < eps) | (jnp.abs(y - h) < eps)
+        )
+        valid = (y >= 0) & (y < h) & (x >= 0) & (x < w)
+        lin = jnp.where(
+            valid,
+            jnp.trunc(y).astype(jnp.int32) * w + jnp.trunc(x).astype(jnp.int32),
+            0,
+        )
+        return valid, lin, suspicious
+
     jx = jnp.asarray(xs.astype(np.float32))
     jy = jnp.asarray(ys.astype(np.float32))
     jz = jnp.asarray(zs.astype(np.float32))
-    gx, gy, gz = jnp.meshgrid(jx, jy, jz, indexing="ij")
-    pts32 = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-    pts64 = None  # lazily built only if needed
 
     valids, idxs = [], []
     for cp in cameras:
-        uv = np.asarray(
-            cam_ops.project_points(
-                pts32,
-                jnp.asarray(cp.rvec, jnp.float32),
-                jnp.asarray(cp.tvec, jnp.float32),
-                jnp.asarray(cp.K, jnp.float32),
-                jnp.asarray(cp.dist, jnp.float32),
-                xp=jnp,
-            )
-        ).astype(np.float64)
-        x, y = uv[:, 0], uv[:, 1]
-        fx = x - np.floor(x)
-        fy = y - np.floor(y)
-        suspicious = (
-            (fx < eps) | (fx > 1 - eps) | (fy < eps) | (fy > 1 - eps)
-            | (np.abs(x) < eps) | (np.abs(x - W) < eps)
-            | (np.abs(y) < eps) | (np.abs(y - H) < eps)
+        valid, lin, suspicious = _device_tables(
+            jx, jy, jz,
+            jnp.asarray(cp.rvec, jnp.float32),
+            jnp.asarray(cp.tvec, jnp.float32),
+            jnp.asarray(cp.K, jnp.float32),
+            jnp.asarray(cp.dist, jnp.float32),
+            (H, W),
         )
-        sus_idx = np.flatnonzero(suspicious)
+        sus_idx = np.flatnonzero(np.asarray(suspicious))
         if len(sus_idx):
             if pts64 is None:
                 pts64 = grid.voxel_points()
             uv_exact = cam_ops.project_points(
                 pts64[sus_idx], cp.rvec, cp.tvec, cp.K, cp.dist, xp=np
             )
-            uv[sus_idx] = uv_exact
-            x, y = uv[:, 0], uv[:, 1]
-        valid = (y >= 0) & (y < H) & (x >= 0) & (x < W)
-        ix = np.trunc(x).astype(np.int64)
-        iy = np.trunc(y).astype(np.int64)
-        lin = np.where(valid, iy * W + ix, 0).astype(np.int32)
+            x_e, y_e = uv_exact[:, 0], uv_exact[:, 1]
+            valid_e = (y_e >= 0) & (y_e < H) & (x_e >= 0) & (x_e < W)
+            lin_e = np.where(
+                valid_e,
+                np.trunc(y_e).astype(np.int64) * W
+                + np.trunc(x_e).astype(np.int64),
+                0,
+            ).astype(np.int32)
+            sus_d = jnp.asarray(sus_idx)
+            valid = valid.at[sus_d].set(jnp.asarray(valid_e))
+            lin = lin.at[sus_d].set(jnp.asarray(lin_e))
         valids.append(valid)
         idxs.append(lin)
     return ProjectionTables(
-        valid=jnp.asarray(np.stack(valids)),
-        lin_idx=jnp.asarray(np.stack(idxs)),
+        valid=jnp.stack(valids),
+        lin_idx=jnp.stack(idxs),
         image_hw=(H, W),
     )
 
@@ -146,7 +163,10 @@ def _build_tables_f64(cameras, grid, image_hw) -> ProjectionTables:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("views_threshold", "color_camera"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("views_threshold", "color_camera", "packed_colors"),
+)
 def carve_from_tables(
     masks: jnp.ndarray,  # (C, H, W) uint8 foreground masks
     images: jnp.ndarray,  # (C, H, W, 3) uint8 BGR frames
@@ -155,23 +175,51 @@ def carve_from_tables(
     *,
     views_threshold: int = 4,
     color_camera: int = 1,
+    packed_colors: bool = False,
 ):
     """Per-frame carve: C mask gathers + view-count reduction + color gather.
 
-    Returns (occupancy (N,) bool, colors (N, 3) uint8 BGR from color_camera).
+    Returns (occupancy (N,) bool, colors): colors is (N, 3) u8 BGR, or with
+    ``packed_colors`` a (N,) uint32 of b·2¹⁶+g·2⁸+r — the packed form
+    avoids a trailing-dim-3 tiled layout that XLA pads 42× at 512³ grids
+    (use :func:`unpack_colors_u32` to expand kept voxels).
     """
     C = masks.shape[0]
     masks_flat = masks.reshape(C, -1)
 
-    def per_cam(mask_flat, v, idx):
-        return v & (jnp.take(mask_flat, idx, axis=0) > 0)
-
-    vis = jax.vmap(per_cam)(masks_flat, valid, lin_idx)  # (C, N) bool
-    count = jnp.sum(vis.astype(jnp.int32), axis=0)
+    # Sequential accumulation over cameras (C is a static small number):
+    # keeps only one camera's gather temporaries live at a time, which is
+    # what fits the 512³ × 8-cam stretch config in 16 GB HBM (a vmapped
+    # formulation materializes (C, N) intermediates several times over).
+    count = jnp.zeros(valid.shape[1], jnp.int8)
+    for c in range(C):
+        vis_c = valid[c] & (jnp.take(masks_flat[c], lin_idx[c], axis=0) > 0)
+        count = count + vis_c.astype(jnp.int8)
     occupancy = count >= views_threshold
-    img_flat = images[color_camera].reshape(-1, 3)
-    colors = jnp.take(img_flat, lin_idx[color_camera], axis=0)
+    img = images[color_camera].astype(jnp.uint32)
+    packed_img = (
+        (img[..., 0] << 16) | (img[..., 1] << 8) | img[..., 2]
+    ).reshape(-1)
+    packed = jnp.take(packed_img, lin_idx[color_camera], axis=0)  # (N,) u32
+    if packed_colors:
+        return occupancy, packed
+    colors = jnp.stack(
+        [
+            (packed >> 16).astype(jnp.uint8),
+            ((packed >> 8) & 0xFF).astype(jnp.uint8),
+            (packed & 0xFF).astype(jnp.uint8),
+        ],
+        axis=-1,
+    )
     return occupancy, colors
+
+
+def unpack_colors_u32(packed: np.ndarray) -> np.ndarray:
+    """(M,) uint32 packed → (M, 3) uint8 BGR (host-side)."""
+    packed = np.asarray(packed)
+    return np.stack(
+        [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF], axis=-1
+    ).astype(np.uint8)
 
 
 def _pose_arrays(cameras: Sequence[CameraParams]):
