@@ -50,7 +50,11 @@ def rodrigues(rvec, xp=jnp):
         ]
     )
     eye = xp.eye(3, dtype=K.dtype)
-    R = eye + xp.sin(theta) * K + (1.0 - xp.cos(theta)) * (K @ K)
+    # K² for a unit axis equals kkᵀ − I; using the outer-product identity
+    # keeps everything elementwise (a 3×3 matmul would route through the
+    # TPU MXU's bfloat16 path and cost ~4e-3 absolute error in R).
+    kkT = k[:, None] * k[None, :]
+    R = eye + xp.sin(theta) * K + (1.0 - xp.cos(theta)) * (kkT - eye)
     # θ→0: R ≈ I + skew(r)  (K here is skew(r)/θ so use raw skew)
     Kraw = K * safe
     R0 = eye + Kraw
@@ -117,9 +121,23 @@ def project_points_rt(points, R, tvec, K, dist, xp=jnp):
 
     Returns pixel coordinates (..., 2).  Exactly the ``cv2.projectPoints``
     chain: X_cam = R·X + t → perspective divide → distortion → K.
+
+    The rotation is applied with explicit elementwise arithmetic rather
+    than a matmul: on TPU a matmul routes through the MXU's bfloat16 path
+    (~0.2-1 px error at this scene scale), while elementwise mul/add stays
+    in full float32 on the VPU.
     """
     points = xp.asarray(points)
-    Xc = points @ xp.transpose(R) + xp.reshape(tvec, (1,) * (points.ndim - 1) + (3,))
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    tvec = xp.reshape(tvec, (3,))
+    Xc = xp.stack(
+        [
+            R[0, 0] * x + R[0, 1] * y + R[0, 2] * z + tvec[0],
+            R[1, 0] * x + R[1, 1] * y + R[1, 2] * z + tvec[1],
+            R[2, 0] * x + R[2, 1] * y + R[2, 2] * z + tvec[2],
+        ],
+        axis=-1,
+    )
     z = Xc[..., 2]
     inv_z = 1.0 / z
     xn = Xc[..., 0] * inv_z
