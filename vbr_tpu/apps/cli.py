@@ -177,7 +177,9 @@ def cmd_masks(args):
     from vbr_tpu.pipelines import background
     from vbr_tpu.utils import video as vio
 
-    pipe = background.BackgroundPipeline(args.data)
+    pipe = background.BackgroundPipeline(
+        args.data, cache_dir=os.path.join(args.out_dir, "bg_cache")
+    )
     src = vio.MultiCameraSource(args.data)
     frames = None
     for _ in range(args.frame + 1):
@@ -198,7 +200,9 @@ def _carve_setup(args):
     grid = GridConfig(nx=args.grid, ny=args.grid, nz=args.grid)
     cams = reconstruction.load_rig(args.data)
     recon = reconstruction.Reconstructor(cams, grid, RigConfig())
-    pipe = background.BackgroundPipeline(args.data)
+    pipe = background.BackgroundPipeline(
+        args.data, cache_dir=os.path.join(args.out_dir, "bg_cache")
+    )
     return grid, cams, recon, pipe
 
 

@@ -87,16 +87,29 @@ class BackgroundPipeline:
         num_cameras: int = 4,
         mask_params: Sequence[MaskParams] = DEFAULT_MASK_PARAMS,
         mog_params: Optional[MOGParams] = None,
+        cache_dir: Optional[str] = None,
     ):
+        from vbr_tpu.utils import artifacts
+
         self.mask_params = list(mask_params)
         self.states: List[gmm.MOGState] = []
         self.mog_params: List[MOGParams] = []
         for cam in range(1, num_cameras + 1):
-            frames = video_io.read_video(
-                os.path.join(data_dir, f"cam{cam}", "background.avi")
+            cache_path = (
+                os.path.join(cache_dir, f"mog_cam{cam}.npz") if cache_dir else None
             )
-            p = mog_params or MOGParams(history=frames.shape[0])
-            self.states.append(train_background_model(frames, p))
+            state = artifacts.load_mog_state(cache_path) if cache_path else None
+            if state is not None:
+                p = mog_params or MOGParams(history=int(state.nframes))
+            else:
+                frames = video_io.read_video(
+                    os.path.join(data_dir, f"cam{cam}", "background.avi")
+                )
+                p = mog_params or MOGParams(history=frames.shape[0])
+                state = train_background_model(frames, p)
+                if cache_path:
+                    artifacts.save_mog_state(cache_path, state)
+            self.states.append(state)
             self.mog_params.append(p)
 
     def masks_for_frames(
