@@ -113,3 +113,58 @@ class TestHomography:
         pts = np.array([[1.0, 1.0], [2.0, 0.0]])
         out = cam_ops.apply_homography(H, pts, xp=np)
         np.testing.assert_allclose(out, [[7, -1], [9, -4]], atol=1e-12)
+
+
+class TestNoMatmulInProjection:
+    """Regression locks: the projection chain must stay matmul-free.
+
+    On TPU, jnp matmuls (even 3×3) route through the MXU's bfloat16 path,
+    which silently costs ~0.5 px at this scene scale — enough to break
+    the bit-exact carve-table guarantee (observed: +131 voxels at 128³).
+    The fix is elementwise arithmetic; these tests pin it via the jaxpr.
+    """
+
+    def _jaxpr_of(self, fn, *args):
+        import jax
+
+        return str(jax.make_jaxpr(fn)(*args))
+
+    def test_project_points_has_no_dot(self):
+        import jax.numpy as jnp
+
+        from vbr_tpu.ops import camera as cam_ops
+
+        pts = jnp.ones((8, 3), jnp.float32)
+        rvec = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+        tvec = jnp.asarray([0.0, 0.0, 5000.0], jnp.float32)
+        K = jnp.eye(3, dtype=jnp.float32) * 500
+        dist = jnp.zeros(5, jnp.float32)
+        jaxpr = self._jaxpr_of(
+            lambda p: cam_ops.project_points(p, rvec, tvec, K, dist, xp=jnp), pts
+        )
+        assert "dot_general" not in jaxpr
+
+    def test_carve_fused_has_no_dot(self):
+        import jax.numpy as jnp
+
+        from vbr_tpu.ops import carve
+
+        C, H, W, N = 2, 16, 32, 64
+        masks = jnp.zeros((C, H, W), jnp.uint8)
+        images = jnp.zeros((C, H, W, 3), jnp.uint8)
+        pts = jnp.ones((N, 3), jnp.float32)
+        R = jnp.stack([jnp.eye(3, dtype=jnp.float32)] * C)
+        t = jnp.zeros((C, 3), jnp.float32)
+        K4 = jnp.ones((C, 4), jnp.float32)
+        dist = jnp.zeros((C, 5), jnp.float32)
+        import jax
+
+        jaxpr = str(
+            jax.make_jaxpr(
+                lambda m, im: carve.carve_fused(
+                    m, im, pts, R, t, K4, dist, image_hw=(H, W),
+                    views_threshold=2,
+                )
+            )(masks, images)
+        )
+        assert "dot_general" not in jaxpr

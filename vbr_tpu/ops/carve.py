@@ -269,10 +269,15 @@ def carve_fused(
     masks_flat = masks.reshape(C, -1)
 
     def per_cam(mask_flat, Rc, tc, K4c, dc):
-        Xc = points @ Rc.T + tc  # (N, 3) — MXU
-        inv_z = 1.0 / Xc[:, 2]
-        xn = Xc[:, 0] * inv_z
-        yn = Xc[:, 1] * inv_z
+        # elementwise rotation (a matmul would run in bfloat16 on the MXU
+        # and cost ~0.5 px here — see ops/camera.project_points_rt)
+        px, py, pz = points[:, 0], points[:, 1], points[:, 2]
+        Xx = Rc[0, 0] * px + Rc[0, 1] * py + Rc[0, 2] * pz + tc[0]
+        Xy = Rc[1, 0] * px + Rc[1, 1] * py + Rc[1, 2] * pz + tc[1]
+        Xz = Rc[2, 0] * px + Rc[2, 1] * py + Rc[2, 2] * pz + tc[2]
+        inv_z = 1.0 / Xz
+        xn = Xx * inv_z
+        yn = Xy * inv_z
         xd, yd = cam_ops.distort_normalized(xn, yn, dc, xp=jnp)
         u = K4c[0] * xd + K4c[2]
         v = K4c[1] * yd + K4c[3]
