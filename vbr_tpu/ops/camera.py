@@ -37,7 +37,8 @@ def rodrigues(rvec, xp=jnp):
     to the first-order expansion near θ = 0.  Matches ``cv2.Rodrigues``.
     """
     rvec = xp.asarray(rvec).reshape(3)
-    theta2 = rvec @ rvec
+    # elementwise (a vector dot lowers to dot_general → bf16 on the MXU)
+    theta2 = rvec[0] * rvec[0] + rvec[1] * rvec[1] + rvec[2] * rvec[2]
     theta = xp.sqrt(theta2)
     # Guard the division; the (theta == 0) branch result is exact via where.
     safe = xp.where(theta > 0, theta, 1.0)
@@ -92,7 +93,7 @@ def rodrigues_inverse(R, xp=jnp):
         kx > 1e-6, kz, k[2] * xp.sign(xp.where(S[1, 2] >= 0, 1.0, -1.0))
     )
     axis_pi = xp.stack([kx, ky, kz])
-    norm = xp.sqrt(axis_pi @ axis_pi)
+    norm = xp.sqrt(kx * kx + ky * ky + kz * kz)
     axis_pi = axis_pi / xp.where(norm > 0, norm, 1.0)
     near_pi = axis_pi * theta
 
