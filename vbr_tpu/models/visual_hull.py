@@ -90,7 +90,7 @@ class VisualHull:
 
     # -- per-frame step ---------------------------------------------------
 
-    def masks(self, frames: np.ndarray) -> np.ndarray:
+    def masks(self, frames: np.ndarray, ccl_backend: str = "host") -> np.ndarray:
         out = []
         for c in range(frames.shape[0]):
             out.append(
@@ -98,6 +98,7 @@ class VisualHull:
                     background.extract_foreground_mask(
                         self.bg_states[c], frames[c],
                         self.mask_params[c], self.mog_params[c],
+                        ccl_backend=ccl_backend,
                     )
                 )
             )
