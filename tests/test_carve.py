@@ -150,3 +150,27 @@ class TestAcceleratedTables:
         np.testing.assert_array_equal(
             np.asarray(fast.lin_idx), np.asarray(exact.lin_idx)
         )
+
+
+class TestBatchedFrames:
+    def test_batched_matches_single(self, rig_cameras, golden_masks,
+                                    first_frames, tables):
+        import jax.numpy as jnp
+
+        masks_b = np.stack([golden_masks, np.roll(golden_masks, 7, axis=2)])
+        frames_b = np.stack([first_frames, first_frames])
+        occ_b, col_b = carve.carve_frames_batched(
+            jnp.asarray(masks_b), jnp.asarray(frames_b),
+            tables.valid, tables.lin_idx,
+        )
+        for f in range(2):
+            occ_s, col_s = carve.carve_from_tables(
+                jnp.asarray(masks_b[f]), jnp.asarray(frames_b[f]),
+                tables.valid, tables.lin_idx,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(occ_b)[f], np.asarray(occ_s)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(col_b)[f], np.asarray(col_s)
+            )

@@ -325,3 +325,35 @@ def compact_voxels(
     ).astype(np.float32)
     rgb = colors[occupancy][:, ::-1].astype(np.float32) / 255.0
     return positions, rgb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("views_threshold", "color_camera", "packed_colors"),
+)
+def carve_frames_batched(
+    masks: jnp.ndarray,  # (F, C, H, W) uint8
+    images: jnp.ndarray,  # (F, C, H, W, 3) uint8
+    valid: jnp.ndarray,  # (C, N) bool
+    lin_idx: jnp.ndarray,  # (C, N) int32
+    *,
+    views_threshold: int = 4,
+    color_camera: int = 1,
+    packed_colors: bool = False,
+):
+    """Carve a batch of F frames in one dispatch (offline video throughput).
+
+    Identical per-frame semantics to :func:`carve_from_tables`; batching
+    amortizes the fixed per-dispatch/sync cost (~30 ms on tunneled hosts)
+    across the batch.
+    """
+
+    def one(m, im):
+        return carve_from_tables(
+            m, im, valid, lin_idx,
+            views_threshold=views_threshold,
+            color_camera=color_camera,
+            packed_colors=packed_colors,
+        )
+
+    return jax.lax.map(one, (masks, images))
