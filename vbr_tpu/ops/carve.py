@@ -348,7 +348,8 @@ def carve_frames_batched(
     across the batch.
     """
 
-    def one(m, im):
+    def one(args):
+        m, im = args
         return carve_from_tables(
             m, im, valid, lin_idx,
             views_threshold=views_threshold,
