@@ -5,6 +5,16 @@ occupancy matching the OpenCV/reference semantics.  Prints one JSON line:
 {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 vs_baseline is the speedup factor against the 5 ms/frame target (>1 beats
 the target).
+
+Kernel provenance is explicit: the headline value carries extra.kernel
+("pallas" = fused blocked Pallas kernel, "tables" = XLA gather path) and a
+top-level "fallback" flag.  If VBR_BENCH_KERNEL=pallas is set explicitly
+and the Pallas kernel cannot run, the bench exits nonzero rather than
+silently reporting the fallback number.
+
+Occupancy parity vs the float64 table path is verified in-bench before
+timing (bit-exact, reference trunc semantics of voxel_reconstruction.py:
+105-122); colors are compared at occupied voxels.
 """
 
 import json
@@ -13,6 +23,37 @@ import sys
 import time
 
 import numpy as np
+
+
+def _marginal_ms(step, iters, pairs=3):
+    """Steady-state marginal cost: difference of two batch sizes removes
+    the fixed dispatch/sync overhead of the tunnel.  Median over several
+    pairs; falls back to the (overhead-inclusive) mean if the difference
+    is noise-dominated (never reports a negative or clamped value)."""
+    half = max(1, iters // 2)
+
+    def run(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = step()
+        for x in out:
+            np.asarray(x.ravel()[:1])  # true sync (tunnel-safe)
+        return time.perf_counter() - t0
+
+    run(3)
+    run(3)
+    margs, means = [], []
+    for _ in range(pairs):
+        t_half = run(half)
+        t_full = run(iters)
+        margs.append((t_full - t_half) / (iters - half))
+        means.append(t_full / iters)
+    marginal = sorted(margs)[len(margs) // 2]
+    mean = sorted(means)[len(means) // 2]
+    if marginal <= 0:  # tunnel noise exceeded the signal: report the mean
+        marginal = mean
+    return marginal * 1e3, mean * 1e3
 
 
 def main():
@@ -56,78 +97,107 @@ def main():
     H, W = masks.shape[1:3]
     masks_d = jnp.asarray(masks)
     frames_d = jnp.asarray(frames)
+    iters = int(os.environ.get("VBR_BENCH_ITERS", "50"))
 
-    kernel = os.environ.get("VBR_BENCH_KERNEL", "pallas")
+    # Reference-parity oracle: the float64 table path (bit-exact vs the
+    # reference loop semantics, established by tests/test_carve.py).
+    tables = carve.build_projection_tables(cameras, grid, (H, W))
+
+    def step_tables():
+        return carve.carve_from_tables(
+            masks_d, frames_d, tables.valid, tables.lin_idx,
+            views_threshold=rig.views_threshold,
+            color_camera=rig.color_camera,
+        )
+
+    occ_ref, col_ref = step_tables()
+    occ_ref = np.asarray(occ_ref)
+    col_ref = np.asarray(col_ref)
+    n_occ = int(occ_ref.sum())
+
+    requested = os.environ.get("VBR_BENCH_KERNEL", "pallas")
+    kernel = requested
+    fallback = False
+    err = None
     step = None
-    if kernel == "pallas":
+    extra = {}
+
+    if requested == "pallas":
         try:
             from vbr_tpu.ops import carve_pallas
 
-            btab = carve_pallas.build_block_tables(cameras, grid, (H, W))
+            btab = carve_pallas.build_block_tables(
+                cameras, grid, (H, W), color_camera=rig.color_camera
+            )
             frame_color = frames_d[rig.color_camera]
 
-            def step(m, im):  # noqa: F811
+            def step():  # noqa: F811
                 return carve_pallas.carve_blocked(
-                    m, frame_color, btab, views_threshold=rig.views_threshold
+                    masks_d, frame_color, btab,
+                    views_threshold=rig.views_threshold, layout="blocked",
                 )
 
-            occ, col = step(masks_d, frames_d)  # compile check
-            np.asarray(occ.ravel()[:1])
+            occ_b, col_b = step()
+            # bit-exactness gates (occupancy everywhere; colors at occupied)
+            occ_can = carve_pallas.canonicalize_host(
+                np.asarray(occ_b), btab
+            ).astype(bool)
+            if not (occ_can == occ_ref).all():
+                raise AssertionError("pallas occupancy mismatch vs f64 tables")
+            col_can = carve_pallas.canonicalize_host(
+                np.moveaxis(np.asarray(col_b), 2, 3), btab
+            )
+            if not (col_can[occ_can] == col_ref[occ_ref]).all():
+                raise AssertionError("pallas color mismatch at occupied voxels")
+            extra["parity"] = "bit-exact vs f64 table path"
+
+            def step_canonical():
+                return carve_pallas.carve_blocked(
+                    masks_d, frame_color, btab,
+                    views_threshold=rig.views_threshold, layout="canonical",
+                )
+
+            ms_canon, _ = _marginal_ms(step_canonical, max(10, iters // 2))
+            extra["canonical_layout_ms"] = round(ms_canon, 4)
         except Exception as e:  # Mosaic compile unavailable → XLA fallback
-            print(f"# pallas kernel unavailable ({type(e).__name__}); "
+            err = f"{type(e).__name__}: {e}"
+            print(f"# PALLAS KERNEL UNAVAILABLE ({err}); "
                   "falling back to XLA table path", file=sys.stderr)
             step = None
             kernel = "tables"
+            fallback = True
 
     if step is None:
-        tables = carve.build_projection_tables(cameras, grid, (H, W))
+        step = step_tables
 
-        def step(m, im):
-            return carve.carve_from_tables(
-                m, im, tables.valid, tables.lin_idx,
-                views_threshold=rig.views_threshold,
-                color_camera=rig.color_camera,
-            )
+    ms, mean_ms = _marginal_ms(step, iters)
 
-    # Warm-up / compile
-    occ, col = step(masks_d, frames_d)
-    _ = np.asarray(occ.ravel()[:1])  # true sync (tunnel-safe)
-    n_occ = int(np.asarray(occ).sum())
-
-    iters = int(os.environ.get("VBR_BENCH_ITERS", "50"))
-    # steady-state marginal: time 2 batch sizes, difference removes the
-    # fixed dispatch/sync overhead of the tunnel
-    def run(k):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            o, c = step(masks_d, frames_d)
-        _ = np.asarray(o.ravel()[:1])
-        _ = np.asarray(c.ravel()[:1])
-        return time.perf_counter() - t0
-
-    run(3)  # warm
-    t_half = run(iters // 2)
-    t_full = run(iters)
-    dt = max((t_full - t_half) / (iters - iters // 2), t_full / iters * 0.1)
-
-    ms = dt * 1e3
-    voxels_per_sec = grid.num_voxels * 4 / dt
+    voxels_per_sec = grid.num_voxels * len(cameras) / (ms * 1e-3)
     result = {
         "metric": "carve_128c4_ms_per_frame",
         "value": round(ms, 4),
         "unit": "ms/frame/chip",
         "vs_baseline": round(5.0 / ms, 3),
+        "fallback": fallback,
         "extra": {
+            "mean_ms_per_frame": round(mean_ms, 4),
             "voxel_tests_per_sec": voxels_per_sec,
             "occupied_voxels": n_occ,
             "grid": "128x128x128",
-            "cameras": 4,
+            "cameras": len(cameras),
             "kernel": kernel,
+            "requested_kernel": requested,
             "device": str(jax.devices()[0]),
             "iters": iters,
+            **extra,
         },
     }
+    if err:
+        result["extra"]["fallback_reason"] = err
     print(json.dumps(result))
+    if fallback and "VBR_BENCH_KERNEL" in os.environ:
+        return 2  # explicit kernel request not honored: fail loudly
+    return 0
 
 
 if __name__ == "__main__":

@@ -73,13 +73,20 @@ class MultiSource {
   // Returns 1 on success, 0 at end of stream.
   int Next(uint8_t* out) {
     std::unique_lock<std::mutex> lk(mu_);
-    cv_data_.wait(lk, [&] { return !queue_.empty() || stop_; });
-    if (queue_.empty()) return 0;
+    cv_data_.wait(lk, [&] { return !queue_.empty() || stop_ || eos_; });
+    if (queue_.empty()) return 0;  // stopped or already past end-of-stream
     FrameSet fs = std::move(queue_.front());
     queue_.pop_front();
+    if (fs.end_of_stream) {
+      // Latch EOS so further Next() calls return immediately instead of
+      // waiting forever on the exited decode thread.
+      eos_ = true;
+      lk.unlock();
+      cv_space_.notify_one();
+      return 0;
+    }
     lk.unlock();
     cv_space_.notify_one();
-    if (fs.end_of_stream) return 0;
     const size_t frame_bytes =
         static_cast<size_t>(height_) * width_ * 3;
     for (size_t c = 0; c < fs.frames.size(); ++c) {

@@ -50,6 +50,7 @@ from vbr_tpu.utils.config import CameraParams, GridConfig
 BV = 512  # voxels per sub-block (8³)
 WORD_BITS = 8  # mask columns packed per word (8 keeps words bf16-exact)
 LANE = 128  # TPU lane width; lane-dim slices must be multiples of this
+CELL = 32  # activity-test cell size in pixels (see build_block_tables)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -83,6 +84,17 @@ class BlockTables:
     lcc: jnp.ndarray  # (nsuper, nsub, BV) i32 absolute color col, -1 invalid
     vorig: jnp.ndarray  # (nsuper, nsub, C) i32 8-aligned row-window origin
     uorig: jnp.ndarray  # (nsuper, nsub, 1) i32 128-aligned color col origin
+    # activity pruning: cell_mat[c, blk, cell] = 1 iff CELL×CELL pixel cell
+    # `cell` intersects sub-block blk's projected-footprint bbox in camera c.
+    # A sub-block where fewer than views_threshold cameras have any
+    # foreground inside that bbox provably has no voxel reaching the
+    # threshold, so the kernel skips it (exact for occupancy).
+    cell_mat: jnp.ndarray  # (C, nsuper*nsub, n_cells_padded) bf16
+    n_cells_hw: Tuple[int, int]  # cell grid (hc, wc)
+    # host-side: canonical voxel index of each (superblock, sub, voxel) slot
+    perm: np.ndarray = dataclasses.field(
+        default=None, compare=False, hash=False
+    )
 
 
 def _blocked_permutation(grid_shape, sub, sup):
@@ -129,6 +141,12 @@ def build_block_tables(
     ix_color = None
     valid_color = None
 
+    hc = -(-H // CELL)
+    wc = -(-W // CELL)
+    n_cells = hc * wc
+    n_cells_p = _ceil_to(n_cells, LANE)
+    cell_mat = np.zeros((C, nsuper * nsub, hc, wc), dtype=np.float32)
+
     need_wh = 8
     for c, cp in enumerate(cameras):
         uv = cam_ops.project_points(pts, cp.rvec, cp.tvec, cp.K, cp.dist, xp=np)
@@ -150,6 +168,16 @@ def build_block_tables(
         need_wh = max(need_wh, int((ymax - v0).max()) + 1)
         vorig[:, :, c] = v0
 
+        # footprint-bbox → cell membership rows for the activity test
+        xmin_c = np.where(any_v, np.where(valid_b, ix_b, 10**6).min(axis=2), 0)
+        xmax_c = np.where(any_v, np.where(valid_b, ix_b, -1).max(axis=2), 0)
+        mat_c = cell_mat[c]
+        y0f, y1f = (ymin // CELL).ravel(), (ymax // CELL).ravel()
+        x0f, x1f = (xmin_c // CELL).ravel(), (xmax_c // CELL).ravel()
+        anyf = any_v.ravel()
+        for b in np.flatnonzero(anyf):
+            mat_c[b, y0f[b] : y1f[b] + 1, x0f[b] : x1f[b] + 1] = 1.0
+
     WH = _ceil_to(need_wh, 8)
     Hp = _ceil_to(H, 8) + WH  # guarantees v0 + WH <= Hp for any v0 <= H-1
 
@@ -166,6 +194,9 @@ def build_block_tables(
     Wc = _ceil_to(W, LANE) + WC  # panel + WC <= Wc for any u0 <= W-1
     uorig = u0.astype(np.int32).reshape(nsuper, nsub, 1)
     lcc = np.where(valid_color, ix_color, -1).astype(np.int32)
+
+    cell_flat = cell_mat.reshape(C, nsuper * nsub, n_cells)
+    cell_flat = np.pad(cell_flat, ((0, 0), (0, 0), (0, n_cells_p - n_cells)))
 
     return BlockTables(
         grid_shape=grid.shape,
@@ -188,6 +219,9 @@ def build_block_tables(
         lcc=jnp.asarray(lcc),
         vorig=jnp.asarray(vorig),
         uorig=jnp.asarray(uorig),
+        cell_mat=jnp.asarray(cell_flat, dtype=jnp.bfloat16),
+        n_cells_hw=(hc, wc),
+        perm=perm,
     )
 
 
@@ -229,7 +263,7 @@ def pack_image(image: jnp.ndarray, *, Hp: int, Wc: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(C, nsub, WH, WC, n_words, color_camera):
+def _make_kernel(C, nsub, WH, WC, n_words, color_camera, views_threshold):
     def kernel(
         lr_ref,  # (1, nsub, C, BV) i32
         aw_ref,
@@ -237,6 +271,7 @@ def _make_kernel(C, nsub, WH, WC, n_words, color_camera):
         lcc_ref,  # (1, nsub, BV) i32
         vorig_ref,  # (1, nsub, C) i32
         uorig_ref,  # (1, nsub, 1) i32 (64-aligned color column origin)
+        active_ref,  # (1, nsub, 1) i32 — 0 ⇒ provably below threshold
         mask_ref,  # (C, Hp, n_words) bf16   — full VMEM resident
         img_ref,  # (2, 3, Hp, Wc) bf16     — full VMEM resident (dual copy)
         count_ref,  # (1, nsub, BV) i32
@@ -250,7 +285,7 @@ def _make_kernel(C, nsub, WH, WC, n_words, color_camera):
 
         def row_dot(a, b):
             """Row-wise dot Σ_j a[i,j]·b[i,j] via elementwise ⊙ + MXU
-            ones-contraction (avoids slow VPU cross-lane reductions)."""
+            ones-contraction (measured faster than a VPU lane-reduce)."""
             ones = ones_w if a.shape[1] == n_words else ones_c
             return jax.lax.dot_general(
                 a * b, ones, (((1,), (0,)), ((), ())),
@@ -258,60 +293,81 @@ def _make_kernel(C, nsub, WH, WC, n_words, color_camera):
             )  # (BV, 1)
 
         def sub_body(s, carry):
-            counts = jnp.zeros((BV, 1), jnp.float32)
-            for c in range(C):
-                v0 = vorig_ref[0, s, c]
-                win = mask_ref[c, pl.ds(pl.multiple_of(v0, 8), WH), :]
-                lr = lr_ref[0, s, c, :][:, None]
-                b = bexp_ref[0, s, c, :][:, None]
-                # One-hot carrying 2^-b (exact powers of two in bf16):
-                # sel[v, w] = word[v0-window row lr[v], w] · 2^-b[v]
-                scale = pltpu.bitcast(
-                    ((127 - b) << 23).astype(jnp.int32), jnp.float32
-                ).astype(jnp.bfloat16)
-                oh = jnp.where(lr == iota_h + v0, scale, jnp.bfloat16(0))
-                sel = jax.lax.dot_general(
-                    oh,
-                    win,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (BV, n_words) — exact: bf16 words ≤ 255, 2^-b exact
-                awv = aw_ref[0, s, c, :][:, None]
-                shifted = jnp.floor(
-                    row_dot(sel, (awv == iota_w).astype(jnp.float32))
-                )
-                bit = shifted - 2.0 * jnp.floor(shifted * 0.5)
-                counts = counts + bit
-            count_ref[0, s, :] = counts[:, 0].astype(jnp.int32)
+            @pl.when(active_ref[0, s, 0] != 0)
+            def _compute():
+                counts = jnp.zeros((BV, 1), jnp.float32)
+                for c in range(C):
+                    v0 = vorig_ref[0, s, c]
+                    win = mask_ref[c, pl.ds(pl.multiple_of(v0, 8), WH), :]
+                    lr = lr_ref[0, s, c, :][:, None]
+                    b = bexp_ref[0, s, c, :][:, None]
+                    # One-hot carrying 2^-b (exact powers of two in bf16):
+                    # sel[v, w] = word[v0-window row lr[v], w] · 2^-b[v]
+                    scale = pltpu.bitcast(
+                        ((127 - b) << 23).astype(jnp.int32), jnp.float32
+                    ).astype(jnp.bfloat16)
+                    # (cmp → bf16 multiply rather than a broadcast `where`:
+                    # Mosaic rejects the i1 relayout the latter needs)
+                    oh = (lr == iota_h + v0).astype(jnp.bfloat16) * scale
+                    sel = jax.lax.dot_general(
+                        oh,
+                        win,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (BV, n_words) — exact: bf16 words ≤ 255, 2^-b exact
+                    awv = aw_ref[0, s, c, :][:, None]
+                    shifted = jnp.floor(
+                        row_dot(sel, (awv == iota_w).astype(jnp.float32))
+                    )
+                    bit = shifted - 2.0 * jnp.floor(shifted * 0.5)
+                    counts = counts + bit
+                count_ref[0, s, :] = counts[:, 0].astype(jnp.int32)
 
-            # Color gather — unconditional (no scalar-core sync / branch):
-            # a WC-column panel from one of the two 64-shifted image copies.
-            v0c = vorig_ref[0, s, color_camera]
-            u0c = uorig_ref[0, s, 0]
-            copy_idx = jax.lax.rem(u0c // 64, 2)  # 0: aligned, 1: 64-shifted
-            panel = (u0c // LANE) * LANE
-            lrc = lr_ref[0, s, color_camera, :][:, None]
-            ohc = (lrc == iota_h + v0c).astype(jnp.bfloat16)
-            relc = lcc_ref[0, s, :][:, None] - u0c
-            oh_col = (relc == iota_c).astype(jnp.float32)
-            for ch in range(3):
-                winc = img_ref[
-                    copy_idx,
-                    ch,
-                    pl.ds(pl.multiple_of(v0c, 8), WH),
-                    pl.ds(pl.multiple_of(panel, LANE), WC),
-                ]
-                selc = jax.lax.dot_general(
-                    ohc,
-                    winc,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (BV, WC) — exact: u8 channel values in bf16
-                color_ref[0, s, ch, :] = row_dot(selc, oh_col)[:, 0]
+                # Color gather — pruned by occupancy: only ~1/3 of active
+                # sub-blocks contain a voxel reaching the view threshold;
+                # the rest never have their colors read downstream.
+                block_max = jnp.max(counts)
+
+                @pl.when(block_max >= views_threshold)
+                def _color():
+                    _color_gather(s)
 
             return carry
 
-        jax.lax.fori_loop(0, nsub, sub_body, 0)
+        def _color_gather(s):
+                # a WC-column panel from one of the two 64-shifted copies
+                v0c = vorig_ref[0, s, color_camera]
+                u0c = uorig_ref[0, s, 0]
+                copy_idx = jax.lax.rem(u0c // 64, 2)  # 0: aligned, 1: shifted
+                panel = (u0c // LANE) * LANE
+                lrc = lr_ref[0, s, color_camera, :][:, None]
+                ohc = (lrc == iota_h + v0c).astype(jnp.bfloat16)
+                relc = lcc_ref[0, s, :][:, None] - u0c
+                oh_col = (relc == iota_c).astype(jnp.float32)
+                for ch in range(3):
+                    winc = img_ref[
+                        copy_idx,
+                        ch,
+                        pl.ds(pl.multiple_of(v0c, 8), WH),
+                        pl.ds(pl.multiple_of(panel, LANE), WC),
+                    ]
+                    selc = jax.lax.dot_general(
+                        ohc,
+                        winc,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (BV, WC) — exact: u8 channel values in bf16
+                    color_ref[0, s, ch, :] = row_dot(selc, oh_col)[:, 0]
+
+        # skip inactive superblocks entirely (their outputs are masked to
+        # zero outside the kernel — cheaper than in-kernel zero stores)
+        nactive = 0
+        for s in range(nsub):
+            nactive += active_ref[0, s, 0]
+
+        @pl.when(nactive != 0)
+        def _run():
+            jax.lax.fori_loop(0, nsub, sub_body, 0)
 
     return kernel
 
@@ -332,27 +388,56 @@ def _blocked_to_canonical(x_blocked, sub, sup, nblocks):
     return x.transpose(inv).reshape((n,) + trailing)
 
 
+def _block_activity(masks, cell_mat, hc, wc, views_threshold):
+    """(C, H, W) u8 masks → (nsuper*nsub,) i32 sub-block activity flags.
+
+    Conservative & exact: flag 0 only when fewer than views_threshold
+    cameras have any foreground pixel inside the sub-block's projected
+    footprint bbox — then no voxel in the block can reach the threshold.
+    """
+    C, H, W = masks.shape
+    fg = (masks > 0).astype(jnp.bfloat16)
+    fg = jnp.pad(fg, ((0, 0), (0, hc * CELL - H), (0, wc * CELL - W)))
+    cells = jax.lax.reduce_window(
+        fg, jnp.bfloat16(0), jax.lax.max,
+        (1, CELL, CELL), (1, CELL, CELL), "VALID",
+    ).reshape(C, hc * wc)
+    cells = jnp.pad(cells, ((0, 0), (0, cell_mat.shape[2] - hc * wc)))
+    counts = jnp.einsum(
+        "cbk,ck->cb", cell_mat, cells, preferred_element_type=jnp.float32
+    )
+    cam_any = (counts > 0).astype(jnp.int32)  # (C, nblk)
+    return (cam_any.sum(axis=0) >= views_threshold).astype(jnp.int32)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("tables_static", "views_threshold", "interpret")
+    jax.jit,
+    static_argnames=("tables_static", "views_threshold", "interpret", "layout"),
 )
 def _carve_blocked_device(
-    packed_masks,
-    packed_img,
+    masks,
+    image,
     lr,
     aw,
     bexp,
     lcc,
     vorig,
     uorig,
+    cell_mat,
     *,
     tables_static,
     views_threshold: int,
     interpret: bool = False,
+    layout: str = "canonical",
 ):
-    (C, nsuper, nsub, WH, WC, n_words, color_camera, sub, sup, nblocks) = (
-        tables_static
-    )
-    kernel = _make_kernel(C, nsub, WH, WC, n_words, color_camera)
+    (C, nsuper, nsub, WH, WC, n_words, color_camera, sub, sup, nblocks,
+     Hp, Wc, hc, wc) = tables_static
+    packed_masks = pack_masks(masks, Hp=Hp, n_words=n_words)
+    packed_img = pack_image(image, Hp=Hp, Wc=Wc)
+    active = _block_activity(masks, cell_mat, hc, wc, views_threshold)
+    active = active.reshape(nsuper, nsub, 1)
+    kernel = _make_kernel(C, nsub, WH, WC, n_words, color_camera,
+                          views_threshold)
 
     count_b, color_b = pl.pallas_call(
         kernel,
@@ -370,6 +455,8 @@ def _carve_blocked_device(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nsub, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nsub, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed masks (resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed image (resident)
         ],
@@ -384,16 +471,30 @@ def _carve_blocked_device(
             jax.ShapeDtypeStruct((nsuper, nsub, 3, BV), jnp.float32),
         ],
         interpret=interpret,
-    )(lr, aw, bexp, lcc, vorig, uorig, packed_masks, packed_img)
+    )(lr, aw, bexp, lcc, vorig, uorig, active, packed_masks, packed_img)
 
-    count = _blocked_to_canonical(
-        count_b.reshape(nsuper, nsub * BV), sub, sup, nblocks
+    # inactive sub-blocks were never written: mask their garbage to zero,
+    # threshold, and narrow to u8 *before* the blocked→canonical transpose
+    # (the transpose runs at memory bandwidth; 8.4 MB of u8 beats 33 MB of
+    # i32/f32 by ~4×).
+    act_b = active > 0  # (nsuper, nsub, 1)
+    occ_b = (act_b & (count_b >= views_threshold)).astype(jnp.uint8)
+    color_u8 = jnp.where(
+        occ_b[:, :, None, :] > 0, color_b, 0.0
+    ).astype(jnp.uint8)
+    if layout == "blocked":
+        # skip the blocked→canonical transpose entirely (the production
+        # compaction path consumes blocked layout + tables.perm directly)
+        return occ_b, color_u8
+    occ = _blocked_to_canonical(
+        occ_b.reshape(nsuper, nsub * BV), sub, sup, nblocks
     )
     # (nsuper, nsub, 3, BV) → (nsuper, nsub*BV, 3) → canonical (N, 3)
-    color_v = jnp.transpose(color_b, (0, 1, 3, 2)).reshape(nsuper, nsub * BV, 3)
-    colors = _blocked_to_canonical(color_v, sub, sup, nblocks).astype(jnp.uint8)
-    occupancy = count >= views_threshold
-    return occupancy, colors
+    color_v = jnp.transpose(color_u8, (0, 1, 3, 2)).reshape(
+        nsuper, nsub * BV, 3
+    )
+    colors = _blocked_to_canonical(color_v, sub, sup, nblocks)
+    return occ.astype(jnp.bool_), colors
 
 
 def carve_blocked(
@@ -403,14 +504,16 @@ def carve_blocked(
     *,
     views_threshold: int = 4,
     interpret: bool = False,
+    layout: str = "canonical",
 ):
     """Full-frame fused carve via the blocked Pallas kernel.
 
     Returns (occupancy (N,) bool, colors (N, 3) u8 BGR) in canonical voxel
-    order (matching GridConfig.voxel_points()).
+    order (matching GridConfig.voxel_points()).  Colors are gathered only
+    for sub-blocks that can contain occupied voxels; elsewhere they are 0
+    (the reference only ever reads colors of occupied voxels,
+    assignment.py:127-133).
     """
-    packed_masks = pack_masks(masks, Hp=tables.Hp, n_words=tables.n_words)
-    packed_img = pack_image(image, Hp=tables.Hp, Wc=tables.Wc)
     static = (
         tables.num_cameras,
         tables.nsuper,
@@ -422,17 +525,70 @@ def carve_blocked(
         tables.sub_shape,
         tables.sup_shape,
         tables.nblocks,
+        tables.Hp,
+        tables.Wc,
+        tables.n_cells_hw[0],
+        tables.n_cells_hw[1],
     )
     return _carve_blocked_device(
-        packed_masks,
-        packed_img,
+        masks,
+        image,
         tables.lr,
         tables.aw,
         tables.bexp,
         tables.lcc,
         tables.vorig,
         tables.uorig,
+        tables.cell_mat,
         tables_static=static,
         views_threshold=views_threshold,
         interpret=interpret,
+        layout=layout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-side helpers for the blocked output layout
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_host(x_blocked: np.ndarray, tables: BlockTables) -> np.ndarray:
+    """Blocked (nsuper, nsub, BV[, t]) → canonical (N[, t]) on host."""
+    x = np.asarray(x_blocked)
+    flat = x.reshape((tables.nsuper * tables.nsub * BV,) + x.shape[3:])
+    out = np.empty_like(flat)
+    out[tables.perm.ravel()] = flat
+    return out
+
+
+def compact_voxels_blocked(
+    occ_blocked,  # (nsuper, nsub, BV) u8 device or host
+    colors_blocked,  # (nsuper, nsub, 3, BV) u8
+    tables: BlockTables,
+    grid: GridConfig,
+    scaling_factor: float = 64.0,
+):
+    """Compaction into the viewer contract straight from blocked layout.
+
+    Identical semantics to ops.carve.compact_voxels (assignment.py:119-133)
+    — positions truncated, (x, -z, y)/scale axis swap, BGR→RGB colors —
+    but indexes the static blocked positions table, skipping the device-side
+    blocked→canonical transpose of the full grid.  Output row order is
+    blocked rather than canonical scan order (order is not part of the
+    viewer contract — the reference emits dict order).
+    """
+    occ = np.asarray(occ_blocked).ravel().astype(bool)
+    col = np.asarray(colors_blocked)  # (nsuper, nsub, 3, BV)
+    pts = grid.voxel_points()[tables.perm.ravel()]  # blocked order
+    kept = np.trunc(pts[occ])
+    positions = np.stack(
+        [
+            kept[:, 0] / scaling_factor,
+            -(kept[:, 2] / scaling_factor),
+            kept[:, 1] / scaling_factor,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    col_v = np.moveaxis(col, 2, 3).reshape(-1, 3)[occ]
+    rgb = col_v[:, ::-1].astype(np.float32) / 255.0
+    return positions, rgb
