@@ -1,0 +1,97 @@
+"""Fast oracle-parity gates for the background models (default CI).
+
+Subsampled versions of the slow-marked gates in test_background_golden.py
+/ test_bgsegm_oracles.py: 16 training frames at 1/4 resolution so a
+MOG/MOG2/KNN parity regression fails in seconds rather than shipping
+silently (the full-data gates stay slow-marked).
+
+Reference: background_subtraction.py:9-127 (training), :129-208 (apply).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_seq(data_dir):
+    """16 quarter-res training frames + 1 test frame from cam1."""
+    from vbr_tpu.utils import video as vio
+
+    bg = vio.read_video(
+        os.path.join(data_dir, "cam1", "background.avi"), max_frames=16
+    )
+    test = vio.read_video(
+        os.path.join(data_dir, "cam1", "video.avi"), max_frames=1
+    )[0]
+    bg = bg[:, ::2, ::2]  # pure subsampling: both sides see identical input
+    test = test[::2, ::2]
+    return bg, test
+
+
+def _iou(a, b):
+    return (a & b).sum() / max((a | b).sum(), 1)
+
+
+def test_mog_parity_fast(small_seq):
+    import cv2
+
+    from vbr_tpu.native import MOGOracle
+    from vbr_tpu.ops import gmm
+    from vbr_tpu.utils.config import MOGParams
+
+    bg, test = small_seq
+    params = MOGParams(history=bg.shape[0])
+    oracle = MOGOracle(history=bg.shape[0], nmixtures=50,
+                       background_ratio=0.9, noise_sigma=0)
+    for fr in bg:
+        oracle.apply(cv2.cvtColor(fr, cv2.COLOR_BGR2HSV), -1)
+    mask_cv = oracle.apply(cv2.cvtColor(test, cv2.COLOR_BGR2HSV), 0)
+
+    state = gmm.train_mog(bg, params)
+    mask_jax = np.asarray(gmm.extract_mask(state, test, params))
+    iou = _iou(mask_cv > 0, mask_jax > 0)
+    assert iou >= 0.985, f"raw MOG IoU vs bgsegm oracle: {iou}"
+
+
+def test_mog2_parity_fast(small_seq):
+    import cv2
+
+    from vbr_tpu.ops import gmm
+
+    bg, test = small_seq
+    params = gmm.MOG2Params(history=bg.shape[0], var_threshold=650,
+                            use_hsv=True)
+    sub = cv2.createBackgroundSubtractorMOG2(
+        history=bg.shape[0], varThreshold=650, detectShadows=False
+    )
+    for fr in bg:
+        sub.apply(cv2.cvtColor(fr, cv2.COLOR_BGR2HSV), None, -1)
+    mask_cv = sub.apply(cv2.cvtColor(test, cv2.COLOR_BGR2HSV), None, 0)
+
+    state = gmm.train_mog2(bg, params)
+    mask_jax = np.asarray(gmm.extract_mask_mog2(state, test, params))
+    iou = _iou(mask_cv > 0, mask_jax > 0)
+    assert iou >= 0.90, f"raw MOG2 IoU vs cv2: {iou}"
+
+
+def test_knn_parity_fast(small_seq):
+    import cv2
+
+    from vbr_tpu.ops import gmm
+
+    bg, test = small_seq
+    params = gmm.KNNParams(history=bg.shape[0], dist2_threshold=3500,
+                           use_hsv=True)
+    sub = cv2.createBackgroundSubtractorKNN(
+        history=bg.shape[0], dist2Threshold=3500, detectShadows=False
+    )
+    for fr in bg:
+        sub.apply(cv2.cvtColor(fr, cv2.COLOR_BGR2HSV), None, -1)
+    mask_cv = sub.apply(cv2.cvtColor(test, cv2.COLOR_BGR2HSV), None, 0)
+
+    state = gmm.train_knn(bg, params)
+    mask_jax = np.asarray(gmm.extract_mask_knn(state, test, params))
+    iou = _iou(mask_cv > 0, mask_jax > 0)
+    assert iou >= 0.95, f"raw KNN IoU vs cv2: {iou}"

@@ -90,7 +90,44 @@ class VisualHull:
 
     # -- per-frame step ---------------------------------------------------
 
-    def masks(self, frames: np.ndarray, ccl_backend: str = "host") -> np.ndarray:
+    def masks(self, frames: np.ndarray, ccl_backend: str = "device") -> np.ndarray:
+        """Per-camera cleaned foreground masks.
+
+        ``ccl_backend="device"`` (default) runs GMM apply + morphology +
+        the contour-hierarchy cleanup for all cameras in one batched
+        device program (Pallas CCL, ops.ccl.clean_masks_batched), falling
+        back to the host path only on component-table overflow (exactness
+        preserved; does not occur on the production rig).
+        """
+        if ccl_backend == "device":
+            self._ensure_fast_state()
+            raw = background.raw_masks_batched(
+                self._stacked_bg, jnp.asarray(frames),
+                self._mask_params_t, self.mog_params[0],
+            )
+            cleaned, ovf = background.ccl.clean_masks_batched(
+                raw, self._fig_thresholds, self._inner_thresholds
+            )
+            masks = background.finalize_masks_batched(
+                cleaned, self._mask_params_t
+            )
+            masks = np.asarray(masks)
+            ovf = np.asarray(ovf)
+            if ovf.any():  # exact fallback for overflowed cameras
+                raw_h = np.asarray(raw)
+                for c in np.flatnonzero(ovf):
+                    cleaned_c = background.ccl.clean_mask_host(
+                        raw_h[c],
+                        self.mask_params[c].figure_threshold,
+                        self.mask_params[c].inner_threshold,
+                    )
+                    masks[c] = np.asarray(
+                        background.finalize_masks_batched(
+                            jnp.asarray(cleaned_c)[None],
+                            (self._mask_params_t[c],),
+                        )[0]
+                    )
+            return masks
         out = []
         for c in range(frames.shape[0]):
             out.append(
@@ -117,42 +154,222 @@ class VisualHull:
             color_camera=self.rig.color_camera,
         )
 
-    def process_frame_fast(self, frames: np.ndarray):
-        """Latency-optimized full step: 2 device dispatches per frame.
-
-        Dispatch 1 runs HSV + frozen GMM apply + pre-morphology for ALL
-        cameras in one program; the contour cleanup runs on host (native
-        CCL, identical output); dispatch 2 fuses post-morphology with the
-        carve.  Identical results to :meth:`process_frame`; ~4× fewer
-        host↔device round trips (each costs ~30 ms on tunneled setups).
-        """
+    def _ensure_fast_state(self):
         if getattr(self, "_stacked_bg", None) is None:
             self._stacked_bg = background.stack_states(self.bg_states)
             self._mask_params_t = tuple(self.mask_params)
-        frames_d = jnp.asarray(frames)
-        raw = background.raw_masks_batched(
-            self._stacked_bg, frames_d, self._mask_params_t, self.mog_params[0]
-        )
-        raw_h = np.asarray(raw)
-        cleaned = np.stack(
-            [
-                background.ccl.clean_mask_host(
-                    raw_h[c],
-                    self.mask_params[c].figure_threshold,
-                    self.mask_params[c].inner_threshold,
+            self._fig_thresholds = tuple(
+                float(p.figure_threshold) for p in self.mask_params
+            )
+            self._inner_thresholds = tuple(
+                float(p.inner_threshold) for p in self.mask_params
+            )
+            # per-camera MOG params must agree on apply-time fields for
+            # the batched path (ADVICE r1): assert rather than diverge
+            p0 = self.mog_params[0]
+            for p in self.mog_params[1:]:
+                if (p.bg_ratio, p.use_hsv) != (p0.bg_ratio, p0.use_hsv):
+                    raise ValueError(
+                        "raw_masks_batched requires uniform MOG apply "
+                        "params (bg_ratio, use_hsv) across cameras; got "
+                        f"{[(q.bg_ratio, q.use_hsv) for q in self.mog_params]}"
+                    )
+        if not hasattr(self, "_btab"):
+            from vbr_tpu.ops import carve_pallas
+
+            sub = (8, 8, 8)
+            sup = tuple(
+                max(1, min(p, n // s))
+                for n, s, p in zip(self.grid.shape, sub, (2, 2, 4))
+            )
+            try:
+                self._btab = carve_pallas.build_block_tables(
+                    self.cameras, self.grid,
+                    (self.rig.image_height, self.rig.image_width),
+                    sub=sub, sup=sup,
+                    color_camera=self.rig.color_camera,
                 )
-                for c in range(raw_h.shape[0])
-            ]
-        )
-        return _finalize_and_carve(
-            jnp.asarray(cleaned),
-            frames_d,
-            self.tables.valid,
-            self.tables.lin_idx,
-            mask_params=self._mask_params_t,
-            views_threshold=self.rig.views_threshold,
-            color_camera=self.rig.color_camera,
-        )
+            except ValueError:  # grid not 8-divisible: no Pallas carve
+                self._btab = None
+
+    def process_frame_fast(self, frames: np.ndarray, layout: str = "canonical",
+                           carve_kernel: str = "auto"):
+        """Latency-optimized full step: ONE device dispatch per frame.
+
+        GMM apply + pre-morphology + contour-hierarchy cleanup (Pallas
+        CCL) + post-morphology + fused Pallas carve run as a single
+        device program — no host round-trips inside the step.  Identical
+        results to :meth:`process_frame` (golden-verified); on the rare
+        component-table overflow the frame is redone via the host CCL
+        path to preserve exactness.
+
+        ``layout="blocked"`` skips the blocked→canonical transpose and
+        pairs with ops.carve_pallas.compact_voxels_blocked.
+        ``carve_kernel="tables"`` keeps the XLA carve (used where Mosaic
+        is unavailable).
+        """
+        self._ensure_fast_state()
+        if carve_kernel == "auto":
+            carve_kernel = "tables" if (
+                jax.default_backend() == "cpu" or self._btab is None
+            ) else "pallas"
+        frames_d = jnp.asarray(frames)
+        if carve_kernel == "pallas":
+            occ, col, ovf = _full_step_pallas(
+                self._stacked_bg, frames_d,
+                self._btab.lr, self._btab.aw, self._btab.bexp,
+                self._btab.lcc, self._btab.vorig, self._btab.uorig,
+                self._btab.cell_mat,
+                btab_static=_btab_static(self._btab),
+                mask_params=self._mask_params_t,
+                mog_params=self.mog_params[0],
+                fig_thresholds=self._fig_thresholds,
+                inner_thresholds=self._inner_thresholds,
+                views_threshold=self.rig.views_threshold,
+                layout=layout,
+            )
+        else:
+            occ, col, ovf = _full_step_tables(
+                self._stacked_bg, frames_d,
+                self.tables.valid, self.tables.lin_idx,
+                mask_params=self._mask_params_t,
+                mog_params=self.mog_params[0],
+                fig_thresholds=self._fig_thresholds,
+                inner_thresholds=self._inner_thresholds,
+                views_threshold=self.rig.views_threshold,
+                color_camera=self.rig.color_camera,
+            )
+        if bool(np.asarray(ovf).any()):  # exact fallback (host CCL masks)
+            masks = self.masks(frames)
+            if carve_kernel == "pallas":
+                from vbr_tpu.ops import carve_pallas
+
+                return carve_pallas.carve_blocked(
+                    jnp.asarray(masks), frames_d[self.rig.color_camera],
+                    self._btab, views_threshold=self.rig.views_threshold,
+                    layout=layout,
+                )
+            return self.process_frame(frames, masks)
+        return occ, col
+
+    def stream(self, frames_iter, layout: str = "blocked"):
+        """Double-buffered streaming reconstruction.
+
+        Dispatches frame N+1's fused device program before frame N's
+        results are consumed, so host-side work (decode, overflow check,
+        compaction) overlaps device compute — the pipelining the
+        reference's serial loop (assignment.py:94-113) never had.
+
+        Yields (occupancy, colors) per frame in ``layout`` order; the
+        component-table overflow check rides on the result sync (exact
+        host-CCL redo on overflow, which does not occur on the rig data).
+        """
+        self._ensure_fast_state()
+        pending = None  # (occ, col, ovf, frames)
+
+        def dispatch(frames):
+            frames_d = jnp.asarray(frames)
+            occ, col, ovf = _full_step_pallas(
+                self._stacked_bg, frames_d,
+                self._btab.lr, self._btab.aw, self._btab.bexp,
+                self._btab.lcc, self._btab.vorig, self._btab.uorig,
+                self._btab.cell_mat,
+                btab_static=_btab_static(self._btab),
+                mask_params=self._mask_params_t,
+                mog_params=self.mog_params[0],
+                fig_thresholds=self._fig_thresholds,
+                inner_thresholds=self._inner_thresholds,
+                views_threshold=self.rig.views_threshold,
+                layout=layout,
+            )
+            return occ, col, ovf, frames
+
+        def resolve(entry):
+            occ, col, ovf, frames = entry
+            if bool(np.asarray(ovf).any()):  # exact, rare
+                from vbr_tpu.ops import carve_pallas
+
+                masks = self.masks(frames)
+                return carve_pallas.carve_blocked(
+                    jnp.asarray(masks),
+                    jnp.asarray(frames)[self.rig.color_camera],
+                    self._btab, views_threshold=self.rig.views_threshold,
+                    layout=layout,
+                )
+            return occ, col
+
+        for frames in frames_iter:
+            cur = dispatch(frames)
+            if pending is not None:
+                yield resolve(pending)
+            pending = cur
+        if pending is not None:
+            yield resolve(pending)
+
+    def stream_viewer(self, frames_iter, depth: int = 3):
+        """Streaming viewer-array pipeline tuned for slow host↔device links.
+
+        Per frame ONE fused device program emits wire-compressed outputs
+        (bit-packed occupancy + block-compacted colors, ~1 MB instead of
+        ~8.4 MB); device→host copies are started asynchronously and
+        overlapped with the next frames' compute (``depth`` in-flight).
+        Yields (positions, rgb) in the reference viewer contract.
+        """
+        import collections
+
+        from vbr_tpu.ops import carve_pallas
+
+        self._ensure_fast_state()
+        q = collections.deque()
+
+        def dispatch(frames):
+            wire = _full_step_pallas(
+                self._stacked_bg, jnp.asarray(frames),
+                self._btab.lr, self._btab.aw, self._btab.bexp,
+                self._btab.lcc, self._btab.vorig, self._btab.uorig,
+                self._btab.cell_mat,
+                btab_static=_btab_static(self._btab),
+                mask_params=self._mask_params_t,
+                mog_params=self.mog_params[0],
+                fig_thresholds=self._fig_thresholds,
+                inner_thresholds=self._inner_thresholds,
+                views_threshold=self.rig.views_threshold,
+                layout="packed",
+            )
+            try:
+                wire.copy_to_host_async()
+            except AttributeError:
+                pass
+            return wire, frames
+
+        def resolve(entry):
+            wire, frames = entry
+            any_ovf, count, ids, packed, col_c = carve_pallas.decode_wire(
+                wire, 512, self._btab.nsuper, self._btab.nsub
+            )
+            if any_ovf:
+                # exact fallback: host-CCL masks + uncompressed carve
+                masks = self.masks(frames)
+                occ, col = carve_pallas.carve_blocked(
+                    jnp.asarray(masks),
+                    jnp.asarray(frames)[self.rig.color_camera],
+                    self._btab, views_threshold=self.rig.views_threshold,
+                    layout="blocked",
+                )
+                return carve_pallas.compact_voxels_blocked(
+                    occ, col, self._btab, self.grid, self.rig.scaling_factor
+                )
+            return carve_pallas.viewer_arrays_from_packed(
+                packed, ids, count, col_c, self._btab, self.grid,
+                self.rig.scaling_factor,
+            )
+
+        for frames in frames_iter:
+            q.append(dispatch(frames))
+            if len(q) > depth:
+                yield resolve(q.popleft())
+        while q:
+            yield resolve(q.popleft())
 
     def textured_frame(self, frames: np.ndarray, masks=None):
         """Carve + per-voxel color from the nearest non-occluded camera
@@ -233,3 +450,82 @@ def _finalize_and_carve(
         masks, frames, valid, lin_idx,
         views_threshold=views_threshold, color_camera=color_camera,
     )
+
+
+def _btab_static(t):
+    return (
+        t.num_cameras, t.nsuper, t.nsub, t.WH, t.WC, t.n_words,
+        t.color_camera, t.sub_shape, t.sup_shape, t.nblocks, t.Hp, t.Wc,
+        t.n_cells_hw[0], t.n_cells_hw[1],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "btab_static", "mask_params", "mog_params", "fig_thresholds",
+        "inner_thresholds", "views_threshold", "layout",
+    ),
+)
+def _full_step_pallas(
+    stacked_bg, frames, lr, aw, bexp, lcc, vorig, uorig, cell_mat, *,
+    btab_static, mask_params, mog_params, fig_thresholds, inner_thresholds,
+    views_threshold, layout,
+):
+    """The whole per-frame pipeline as ONE device program:
+    HSV → frozen GMM apply → pre-morphology → Pallas CCL cleanup →
+    post-morphology → fused Pallas carve.  Returns (occ, colors, overflow).
+    """
+    from vbr_tpu.ops import carve_pallas
+
+    raw = background.raw_masks_batched.__wrapped__(
+        stacked_bg, frames, mask_params, mog_params
+    )
+    cleaned, ovf = background.ccl.clean_masks_batched.__wrapped__(
+        raw, fig_thresholds, inner_thresholds
+    )
+    masks = background.finalize_masks_batched.__wrapped__(
+        cleaned, mask_params
+    )
+    color_camera = btab_static[6]
+    occ, col = carve_pallas._carve_blocked_device.__wrapped__(
+        masks, frames[color_camera], lr, aw, bexp, lcc, vorig, uorig,
+        cell_mat, tables_static=btab_static,
+        views_threshold=views_threshold,
+        layout="blocked" if layout == "packed" else layout,
+    )
+    if layout == "packed":  # wire-compressed outputs for slow links
+        packed, ids, count, col_c, bovf = carve_pallas.pack_blocked_outputs(
+            occ, col, k_blocks=512
+        )
+        any_ovf = (jnp.any(ovf) | bovf).astype(jnp.int32)
+        return carve_pallas.encode_wire(packed, ids, count, col_c, any_ovf)
+    return occ, col, ovf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mask_params", "mog_params", "fig_thresholds", "inner_thresholds",
+        "views_threshold", "color_camera",
+    ),
+)
+def _full_step_tables(
+    stacked_bg, frames, valid, lin_idx, *, mask_params, mog_params,
+    fig_thresholds, inner_thresholds, views_threshold, color_camera,
+):
+    """Single-program full step on the XLA table-carve path."""
+    raw = background.raw_masks_batched.__wrapped__(
+        stacked_bg, frames, mask_params, mog_params
+    )
+    cleaned, ovf = background.ccl.clean_masks_batched.__wrapped__(
+        raw, fig_thresholds, inner_thresholds
+    )
+    masks = background.finalize_masks_batched.__wrapped__(
+        cleaned, mask_params
+    )
+    occ, col = carve_ops.carve_from_tables.__wrapped__(
+        masks, frames, valid, lin_idx,
+        views_threshold=views_threshold, color_camera=color_camera,
+    )
+    return occ, col, ovf

@@ -64,16 +64,20 @@ def build_projection_tables(
     Result is bit-identical to the reference's float64
     ``cv2.projectPoints`` + ``int()`` truncation chain.  With
     ``accelerate`` (default) the bulk projection runs in float32 on the
-    accelerator and only voxels landing within ``eps`` of a pixel/bounds
-    boundary are re-projected in float64 on the host (the only places
-    float32 rounding could flip the truncated index) — ~30× faster table
-    builds at 256³+ on single-core hosts while preserving exactness.
+    accelerator and only *suspicious* voxels are re-projected in float64
+    on the host — ~30× faster table builds at 256³+ on single-core hosts
+    while preserving exactness.  Suspicious = within ``eps`` of a
+    pixel/bounds boundary (where f32 rounding could flip the truncated
+    index) OR within ``z_eps`` of the camera's principal plane (where
+    the 1/Xz division is catastrophically ill-conditioned in f32 and the
+    per-pixel eps test alone is insufficient — ADVICE r1).
     """
     H, W = image_hw
     if not accelerate:
         return _build_tables_f64(cameras, grid, image_hw)
 
     eps = 2e-3  # ≫ observed f32 projection error (~1e-4 px at 644-px scale)
+    z_eps = 8.0  # mm of camera-frame depth below which f32 1/Xz blows up
     xs, ys, zs = grid.axis_ranges()
     pts64 = None  # lazily built only if needed
 
@@ -88,10 +92,13 @@ def build_projection_tables(
         x, y = uv[:, 0], uv[:, 1]
         fx = x - jnp.floor(x)
         fy = y - jnp.floor(y)
+        R = cam_ops.rodrigues(rvec, xp=jnp)
+        depth = pts @ R[2, :] + tvec[2]  # camera-frame Xz
         suspicious = (
             (fx < eps) | (fx > 1 - eps) | (fy < eps) | (fy > 1 - eps)
             | (jnp.abs(x) < eps) | (jnp.abs(x - w) < eps)
             | (jnp.abs(y) < eps) | (jnp.abs(y - h) < eps)
+            | (jnp.abs(depth) < z_eps)
         )
         valid = (y >= 0) & (y < h) & (x >= 0) & (x < w)
         lin = jnp.where(

@@ -592,3 +592,107 @@ def compact_voxels_blocked(
     col_v = np.moveaxis(col, 2, 3).reshape(-1, 3)[occ]
     rgb = col_v[:, ::-1].astype(np.float32) / 255.0
     return positions, rgb
+
+
+@functools.partial(jax.jit, static_argnames=("k_blocks",))
+def pack_blocked_outputs(occ_b, col_b, k_blocks: int = 512):
+    """Wire-format compression of blocked carve outputs for slow links.
+
+    occupancy → bit-packed u8 (8 voxels/byte, little-endian within the
+    byte); colors → gathered only for sub-blocks containing occupied
+    voxels (≤ k_blocks of them; count returned, overflow flagged so the
+    caller can fall back to the full color tensor — lossless either way).
+    Cuts the per-frame device→host payload from ~8.4 MB to ~1 MB.
+    """
+    nsuper, nsub, BVv = occ_b.shape
+    occ_u = (occ_b > 0).astype(jnp.uint8)
+    bits = occ_u.reshape(nsuper, nsub, BVv // 8, 8).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(8, dtype=jnp.uint32))
+    packed = (bits * weights).sum(-1).astype(jnp.uint8)
+
+    flat_any = occ_u.reshape(nsuper * nsub, BVv).max(axis=1) > 0
+    cs = jnp.cumsum(flat_any.astype(jnp.int32))
+    count = cs[-1]
+    pos = jnp.searchsorted(cs, jnp.arange(1, k_blocks + 1, dtype=jnp.int32))
+    ids = jnp.clip(pos, 0, nsuper * nsub - 1).astype(jnp.int32)
+    col_c = jnp.take(col_b.reshape(nsuper * nsub, 3, BVv), ids, axis=0)
+    return packed, ids, count, col_c, count > k_blocks
+
+
+def encode_wire(packed, ids, count, col_c, any_ovf):
+    """Concatenate packed outputs into ONE u8 buffer → one device→host
+    flush per frame (each separate fetch pays the link's fixed ~30 ms
+    round-trip on tunneled setups)."""
+    head = jax.lax.bitcast_convert_type(
+        jnp.stack([any_ovf.astype(jnp.int32), count.astype(jnp.int32)]),
+        jnp.uint8,
+    ).ravel()  # 8 bytes
+    ids_b = jax.lax.bitcast_convert_type(ids, jnp.uint8).ravel()
+    return jnp.concatenate(
+        [head, ids_b, packed.ravel(), col_c.ravel()]
+    )
+
+
+def decode_wire(wire_host, k_blocks, nsuper, nsub):
+    """Inverse of :func:`encode_wire` (host, zero-copy views)."""
+    buf = np.asarray(wire_host)
+    any_ovf, count = np.frombuffer(buf[:8].tobytes(), np.int32)
+    o = 8
+    ids = np.frombuffer(buf[o:o + 4 * k_blocks].tobytes(), np.int32)
+    o += 4 * k_blocks
+    nb = nsuper * nsub * (BV // 8)
+    packed = buf[o:o + nb].reshape(nsuper, nsub, BV // 8)
+    o += nb
+    col_c = buf[o:o + k_blocks * 3 * BV].reshape(k_blocks, 3, BV)
+    return int(any_ovf), int(count), ids, packed, col_c
+
+
+def viewer_arrays_from_packed(
+    packed, ids, count, col_c, tables: BlockTables, grid: GridConfig,
+    scaling_factor: float = 64.0,
+):
+    """Host-side unpack of :func:`pack_blocked_outputs` into the viewer
+    contract (same semantics as compact_voxels_blocked)."""
+    packed = np.asarray(packed)
+    ids = np.asarray(ids)
+    count = int(np.asarray(count))
+    col_c = np.asarray(col_c)
+    nsuper, nsub, nbytes = packed.shape
+    occ = np.unpackbits(
+        packed.reshape(-1), bitorder="little"
+    ).astype(bool)  # blocked voxel order
+
+    pts = _blocked_points_cache(tables, grid)  # pre-truncated f32
+    vox = np.flatnonzero(occ)
+    kept = pts[vox]
+    positions = np.stack(
+        [
+            kept[:, 0] / scaling_factor,
+            -(kept[:, 2] / scaling_factor),
+            kept[:, 1] / scaling_factor,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    nblk = nsuper * nsub
+    slot = np.full(nblk, -1, np.int32)
+    slot[ids[:count]] = np.arange(count, dtype=np.int32)
+    blk = vox // BV
+    within = vox % BV
+    colors = col_c[slot[blk], :, within]  # (M, 3) BGR
+    rgb = colors[:, ::-1].astype(np.float32) / 255.0
+    return positions, rgb
+
+
+_PTS_CACHE = {}
+
+
+def _blocked_points_cache(tables: BlockTables, grid: GridConfig):
+    key = (id(tables.perm), grid.shape)
+    if key not in _PTS_CACHE:
+        # f32 + trunc precomputed: voxel coords are integer mm (reference
+        # grid steps are whole mm), exact in f32 — halves host indexing cost
+        _PTS_CACHE[key] = np.trunc(
+            grid.voxel_points()[tables.perm.ravel()]
+        ).astype(np.float32)
+    return _PTS_CACHE[key]

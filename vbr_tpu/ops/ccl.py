@@ -267,3 +267,159 @@ def clean_mask_host(
         else:
             out[hole] = True  # small hole filled
     return np.where(out, np.uint8(255), np.uint8(0))
+
+
+# ---------------------------------------------------------------------------
+# Batched scatter-free device cleanup (Pallas labeler + compare-reduce logic)
+# ---------------------------------------------------------------------------
+
+BIG = 2**30
+
+
+def _pad_to_tiles(H, W):
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 128) * 128
+    return Hp, Wp
+
+
+def _compact_roots(lab_flat, k):
+    """First k component roots (min-linear-index labels) + count.
+
+    Scatter-free: a root is a pixel whose label equals its own linear
+    index; compaction via cumsum + searchsorted + a k-element gather.
+    """
+    n = lab_flat.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_root = (lab_flat == iota) & (lab_flat < BIG)
+    cs = jnp.cumsum(is_root.astype(jnp.int32))
+    count = cs[-1]
+    pos = jnp.searchsorted(cs, jnp.arange(1, k + 1, dtype=jnp.int32))
+    roots = jnp.take(lab_flat, jnp.clip(pos, 0, n - 1))
+    roots = jnp.where(jnp.arange(k) < count, roots, -1)
+    return roots, count
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fig_thresholds", "inner_thresholds", "kf", "kb", "max_iters",
+        "interpret",
+    ),
+)
+def clean_masks_batched(
+    raw: jnp.ndarray,  # (C, H, W) u8 {0, 255}
+    fig_thresholds: tuple,
+    inner_thresholds: tuple,
+    *,
+    kf: int = 512,
+    kb: int = 128,
+    max_iters: int = 64,
+    interpret: bool = False,
+):
+    """All-camera contour-hierarchy cleanup fully on device, scatter-free.
+
+    Same semantics as :func:`clean_mask` / :func:`clean_mask_host`
+    (reference hierarchy walk, background_subtraction.py:171-193), but:
+
+      * labeling runs in one batched Pallas kernel (fg + bg for all C
+        cameras in VMEM, ops.ccl_pallas) instead of an HBM-bound XLA
+        while-loop;
+      * component statistics (areas, border contact, hole perimeter,
+        kept-adjacency) use root compaction (cumsum + searchsorted) and
+        fused broadcast-compare reductions against ≤kf/kb root tables —
+        no 300k-element scatters anywhere.
+
+    Returns (cleaned (C, H, W) u8, overflow (C,) bool).  ``overflow[c]``
+    is True when camera c had more than kf foreground or kb background
+    components — callers must redo that camera via a fallback path
+    (clean_mask_host) to preserve exactness; with kf=512/kb=128 this does
+    not occur on the production rig (measured max: 400 fg / 18 bg).
+    """
+    from vbr_tpu.ops import ccl_pallas
+
+    C, H, W = raw.shape
+    Hp, Wp = _pad_to_tiles(H, W)
+    fg = (raw > 0)
+    fg_p = jnp.pad(fg, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    bg_p = jnp.pad(~fg, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                   constant_values=True)
+    batch = jnp.concatenate([fg_p, bg_p], axis=0).astype(jnp.int32)
+    if jax.default_backend() == "cpu" and not interpret:
+        # CPU (tests / no-TPU hosts): the XLA while-loop labeler — same
+        # labels (min padded linear index), no Mosaic dependency.
+        labels = jax.vmap(
+            lambda f: label_components(f > 0, max_iters=max_iters)
+        )(batch)
+    else:
+        labels = ccl_pallas.label_components_batched(
+            batch, max_iters=max_iters, interpret=interpret
+        )
+    labs_f = labels[:C].reshape(C, Hp * Wp)
+    labs_b = labels[C:].reshape(C, Hp * Wp)
+
+    # true-image border ∪ padding (bg components touching it are "outside")
+    bmask = jnp.zeros((Hp, Wp), bool)
+    bmask = bmask.at[0, :].set(True).at[H - 1, :].set(True)
+    bmask = bmask.at[:, 0].set(True).at[:, W - 1].set(True)
+    if Hp > H:
+        bmask = bmask.at[H:, :].set(True)
+    if Wp > W:
+        bmask = bmask.at[:, W:].set(True)
+    bmask = bmask.reshape(-1)
+
+    # 4-neighbour fg-transition counts (hole polygon-perimeter estimate),
+    # computed on the unpadded geometry (holes never touch the padding)
+    bg2 = ~fg
+    up = jnp.pad(bg2, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+    down = jnp.pad(bg2, ((0, 0), (0, 1), (0, 0)))[:, 1:]
+    left = jnp.pad(bg2, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+    right = jnp.pad(bg2, ((0, 0), (0, 0), (0, 1)))[:, :, 1:]
+    edge = (
+        (~up).astype(jnp.int32) + (~down).astype(jnp.int32)
+        + (~left).astype(jnp.int32) + (~right).astype(jnp.int32)
+    )
+    edge = jnp.where(bg2, edge, 0)
+    edge_p = jnp.pad(edge, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    edge_flat = edge_p.reshape(C, Hp * Wp)
+
+    outs = []
+    overflows = []
+    for c in range(C):
+        Lf = labs_f[c]
+        Lb = labs_b[c]
+        roots_f, nf = _compact_roots(Lf, kf)
+        roots_b, nb = _compact_roots(Lb, kb)
+
+        eq_f = Lf[:, None] == roots_f[None, :]  # fused compare-reduces
+        areas_f = jnp.sum(eq_f, axis=0)
+        keep_f = (areas_f >= fig_thresholds[c]) & (roots_f >= 0)
+        kept_px = jnp.any(eq_f & keep_f[None, :], axis=1)
+
+        kept_img = kept_px.reshape(Hp, Wp)
+        kept_adj = lax.reduce_window(
+            kept_img.astype(jnp.int32), 0, lax.max,
+            window_dimensions=(3, 3), window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+        ).reshape(-1) > 0
+
+        eq_b = Lb[:, None] == roots_b[None, :]
+        areas_b = jnp.sum(eq_b, axis=0)
+        outside_b = jnp.any(eq_b & bmask[:, None], axis=0)
+        hole_b = (roots_b >= 0) & ~outside_b
+        perim_b = jnp.sum(jnp.where(eq_b, edge_flat[c][:, None], 0), axis=0)
+        touch_b = jnp.any(eq_b & kept_adj[:, None], axis=0)
+        in_kept_hole = hole_b & touch_b
+        # cv2.contourArea of a hole ≈ pixel area + perimeter/2 − 1 (see
+        # clean_mask docstring; calibrated on rectangles, golden-verified)
+        poly_area = (
+            areas_b.astype(jnp.float32)
+            + perim_b.astype(jnp.float32) * 0.5 - 1.0
+        )
+        fill_b = in_kept_hole & (poly_area < inner_thresholds[c])
+        hole_white_px = jnp.any(eq_b & fill_b[None, :], axis=1)
+
+        out = (kept_px | hole_white_px).reshape(Hp, Wp)[:H, :W]
+        outs.append(jnp.where(out, jnp.uint8(255), jnp.uint8(0)))
+        overflows.append((nf > kf) | (nb > kb))
+
+    return jnp.stack(outs), jnp.stack(overflows)

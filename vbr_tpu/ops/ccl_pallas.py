@@ -1,0 +1,130 @@
+"""Pallas TPU connected-component labeling (batched, in-VMEM).
+
+Replaces the XLA ``ops.ccl.label_components`` while-loop (which re-reads
+and re-writes the full label image from HBM at every associative-scan
+step — ~10 ms/image) with a single kernel that keeps the whole padded
+label image in VMEM/vregs and iterates to fixpoint with zero HBM traffic:
+
+  per iteration:
+    * 8-neighbour min (8-connectivity, shifted mins on the VPU)
+    * segmented min-scans along rows and columns (Hillis-Steele with
+      log2(dim) shift steps), which jump labels across entire runs —
+      convergence in O(#shape turns), not O(diameter)
+
+Labels are the minimum linear index (row * Wp + col, padded coords) of
+each component; background gets 2**30.  Semantics identical to
+ops.ccl.label_components (cross-checked in tests/test_ccl_pallas.py).
+
+Reference semantics being served: the cv2.findContours RETR_TREE
+hierarchy walk of background_subtraction.py:171-193.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 2**30  # plain int: jnp scalars become captured consts in pallas kernels
+
+
+def _shift(x, dy, dx, fill):
+    """Shift a 2-D i32 image by (dy, dx), filling vacated cells."""
+    H, W = x.shape
+    if dy:
+        x = pltpu.roll(x, dy % H, 0)  # roll requires non-negative shifts
+        ih = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        x = jnp.where(ih < dy if dy > 0 else ih >= H + dy, fill, x)
+    if dx:
+        x = pltpu.roll(x, dx % W, 1)
+        iw = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        x = jnp.where(iw < dx if dx > 0 else iw >= W + dx, fill, x)
+    return x
+
+
+def _seg_min_scan(v, reset, axis, reverse):
+    """Segmented running-min along ``axis`` (Hillis-Steele, log steps).
+
+    ``reset`` (i32 0/1) starts a new segment; the scan never crosses it.
+    """
+    size = v.shape[axis]
+    r = reset
+    d = 1
+    while d < size:
+        s = -d if reverse else d
+        vs = _shift(v, s if axis == 0 else 0, s if axis == 1 else 0, BIG)
+        rs = _shift(r, s if axis == 0 else 0, s if axis == 1 else 0, 1)
+        v = jnp.where(r > 0, v, jnp.minimum(v, vs))
+        r = jnp.maximum(r, rs)
+        d *= 2
+    return v
+
+
+def _make_label_kernel(H, W, max_iters):
+    dirs = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+            (0, 1), (1, -1), (1, 0), (1, 1)]
+
+    def kernel(fg_ref, out_ref):
+        fg = fg_ref[0]  # (H, W) i32 0/1
+        ih = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        iw = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        lin = ih * W + iw
+        reset = 1 - fg
+        labels = jnp.where(fg > 0, lin, BIG)
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < max_iters)
+
+        def body(state):
+            labels, _, it = state
+            nm = labels
+            for dy, dx in dirs:
+                nm = jnp.minimum(nm, _shift(labels, dy, dx, BIG))
+            l2 = jnp.where(fg > 0, jnp.minimum(labels, nm), BIG)
+            l2 = _seg_min_scan(l2, reset, axis=1, reverse=False)
+            l2 = _seg_min_scan(l2, reset, axis=1, reverse=True)
+            l2 = _seg_min_scan(l2, reset, axis=0, reverse=False)
+            l2 = _seg_min_scan(l2, reset, axis=0, reverse=True)
+            changed = jnp.any(l2 != labels)
+            return l2, changed, it + 1
+
+        labels, _, _ = lax.while_loop(
+            cond, body, (labels, jnp.bool_(True), jnp.int32(0))
+        )
+        out_ref[0] = labels
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "interpret"))
+def label_components_batched(
+    fg: jnp.ndarray,  # (B, Hp, Wp) i32 or bool; Hp % 8 == 0, Wp % 128 == 0
+    max_iters: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched 8-connected labeling; labels = min padded linear index."""
+    B, H, W = fg.shape
+    if H % 8 or W % 128:
+        raise ValueError("padded image dims must be multiples of (8, 128)")
+    fg = fg.astype(jnp.int32)
+    kernel = _make_label_kernel(H, W, max_iters)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        interpret=interpret,
+        # the fixpoint loop keeps ~a dozen (H, W) i32 temporaries live;
+        # the default 16 MB scoped-vmem limit is too tight for 512×768
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(fg)

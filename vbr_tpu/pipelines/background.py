@@ -45,9 +45,11 @@ def extract_foreground_mask(
       contour-hierarchy cleanup (fill big components, re-carve big holes) →
       optional post open/close (2×2) → binarize.
 
-    ``ccl_backend``: "device" keeps the cleanup on-TPU (while-loop CCL);
+    ``ccl_backend``: "device" (default) keeps the cleanup on-TPU via the
+    batched Pallas CCL (ops.ccl.clean_masks_batched; falls back to host
+    per-frame on component-table overflow, preserving exactness);
     "host" routes the connectivity analysis through the native OpenCV CCL
-    (identical output, ~25× faster wall clock for host-driven streaming).
+    (identical output); "device-xla" uses the pure-XLA while-loop CCL.
     """
     raw = gmm.extract_mask(state, frame, mog_params)
     if mask_params.opening_pre:
@@ -62,10 +64,26 @@ def extract_foreground_mask(
                 mask_params.inner_threshold,
             )
         )
-    else:
+    elif ccl_backend == "device-xla":
         cleaned = ccl.clean_mask(
             raw, mask_params.figure_threshold, mask_params.inner_threshold
         )
+    else:
+        batch, ovf = ccl.clean_masks_batched(
+            raw[None],
+            (float(mask_params.figure_threshold),),
+            (float(mask_params.inner_threshold),),
+        )
+        if bool(np.asarray(ovf)[0]):  # exact fallback
+            cleaned = jnp.asarray(
+                ccl.clean_mask_host(
+                    np.asarray(raw),
+                    mask_params.figure_threshold,
+                    mask_params.inner_threshold,
+                )
+            )
+        else:
+            cleaned = batch[0]
     if mask_params.opening_post:
         cleaned = morphology.opening(cleaned, (2, 2))
     if mask_params.closing_post:
