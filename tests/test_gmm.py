@@ -67,9 +67,14 @@ class TestMOG:
         state = gmm.train_mog(frames, PARAMS)
         w = np.asarray(state.weight)
         np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
-        # sorted descending by sort key
-        key = w / np.sqrt(3 * np.asarray(state.var))
-        assert (np.diff(key, axis=-1) <= 1e-6).all()
+        # OpenCV invariant: empty slots (w < FLT_EPSILON) form a suffix
+        # (the array is only ever locally bubbled, never globally sorted,
+        # so no global key ordering is guaranteed)
+        valid = w >= float(gmm.FLT_EPSILON)
+        first_invalid = np.argmax(~valid, axis=-1)
+        first_invalid[valid.all(axis=-1)] = w.shape[-1]
+        k_idx = np.arange(w.shape[-1])
+        assert (valid == (k_idx < first_invalid[..., None])).all()
 
     def test_spatial_independence(self):
         # left half bg A, right half bg B; swapped at inference → fg
@@ -88,3 +93,76 @@ class TestMOG:
         state = gmm.train_mog(frames, p)
         mask = np.asarray(gmm.extract_mask(state, frames[0], p))
         assert mask.mean() == 0
+
+
+class TestOracleProbes:
+    """Randomized black-box probes vs the C++ bgsegm oracle.
+
+    The training dynamics (stored sortKey = w_new/√Σvar_old, exact weight
+    renormalization, pre-bubble kHit, single upward bubble, replacement at
+    the first empty slot with var0 = 4·(default σ)²) were pinned down by
+    these probes; residual disagreement is confined to rare bubble-edge
+    events, so thresholds are set at the empirically stable level.
+    """
+
+    @pytest.fixture(autouse=True)
+    def _need_oracle(self):
+        try:
+            from vbr_tpu.native import MOGOracle  # noqa: F401
+        except Exception:
+            pytest.skip("native bgsegm oracle unavailable")
+
+    def _run(self, K, T, seed, noise_sigma):
+        from vbr_tpu.native import MOGOracle
+
+        rng = np.random.default_rng(seed)
+        H, W = 10, 12
+        cur = rng.integers(0, 256, (H, W, 3)).astype(np.float64)
+        frames = []
+        for _ in range(T):
+            jump = rng.random((H, W, 1)) < 0.10
+            cur = np.where(jump, rng.integers(0, 256, (H, W, 3)), cur)
+            frames.append(
+                np.clip(cur + rng.normal(0, 5, (H, W, 3)), 0, 255).astype(np.uint8)
+            )
+        frames = np.stack(frames)
+
+        orc = MOGOracle(history=T, nmixtures=K, background_ratio=0.9,
+                        noise_sigma=noise_sigma)
+        orc_masks = np.stack([orc.apply(f, -1.0) for f in frames])
+
+        ns = noise_sigma if noise_sigma > 0 else 15.0
+        p = MOGParams(n_mixtures=K, bg_ratio=0.9, noise_sigma=ns,
+                      history=T, use_hsv=False)
+        st, train_masks = gmm.train_mog(frames, p, return_masks=True)
+        frozen_ours = np.asarray(gmm.extract_mask(st, frames[-1], p))
+        frozen_orc = orc.apply(frames[-1], 0.0)
+        return (train_masks == orc_masks).mean(), (frozen_ours == frozen_orc).mean()
+
+    @pytest.mark.parametrize("K,seed,ns", [(3, 0, 0.0), (5, 1, 10.0), (50, 2, 0.0)])
+    def test_training_and_frozen_agreement(self, K, seed, ns):
+        train_agree, frozen_agree = self._run(K, 40, seed, ns)
+        assert train_agree >= 0.985, train_agree
+        assert frozen_agree >= 0.98, frozen_agree
+
+    def test_stable_background_exact(self):
+        # stable (low-churn) sequences — the production regime — agree
+        # exactly with the C++ oracle
+        from vbr_tpu.native import MOGOracle
+
+        rng = np.random.default_rng(11)
+        frames = np.clip(
+            np.array([100, 140, 90]) + rng.normal(0, 3, (40, 10, 12, 3)),
+            0, 255,
+        ).astype(np.uint8)
+        orc = MOGOracle(history=40, nmixtures=50, background_ratio=0.9,
+                        noise_sigma=0)
+        orc_masks = np.stack([orc.apply(f, -1.0) for f in frames])
+        p = MOGParams(n_mixtures=50, bg_ratio=0.9, noise_sigma=15.0,
+                      history=40, use_hsv=False)
+        st, train_masks = gmm.train_mog(frames, p, return_masks=True)
+        assert (train_masks == orc_masks).all()
+        probe = np.clip(frames[-1].astype(np.int32) + 60, 0, 255).astype(np.uint8)
+        assert (
+            np.asarray(gmm.extract_mask(st, probe, p)) == orc.apply(probe, 0.0)
+        ).all()

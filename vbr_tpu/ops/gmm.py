@@ -8,20 +8,35 @@ over the frame sequence of a ``vmap``-style vectorized per-pixel update
 the frozen apply (lr = 0) is a single fused elementwise pass.
 
 The MOG model follows the Grimson/KaewTraKulPong algorithm as implemented
-by OpenCV bgsegm:
-  * K mixtures per pixel, each with weight w, mean μ (3ch), scalar
-    per-channel-summed variance test: match iff ‖x−μ‖² < 6.25·Σvar.
-  * Matched (first in sort order): w += α(1−w); μ += α·diff;
-    var += α·(diff²−var), floored at the noise variance.
-  * Unmatched: w *= (1−α).  No match at all: weakest mixture replaced by
-    (x, initial weight 0.05, noise variance).
-  * Mixtures kept sorted by w/√Σvar; background = first B mixtures whose
-    cumulative (normalized) weight exceeds backgroundRatio.
+by OpenCV bgsegm (process8uC3 in bgfg_gaussmix), reproduced operation-for-
+operation in f32 so masks agree with the C++ oracle bit-for-bit:
 
-Exact equality with OpenCV's C++ is not attainable (internal fixed-point
-and iteration-order details); parity is asserted behaviorally (IoU vs the
-shipped mask_MOG.jpg goldens and black-box single-pixel probes) per
-SURVEY.md §4.
+  * K mixtures per pixel: weight w, mean μ (3ch), per-channel variance v,
+    and a *stored* sortKey (OpenCV keeps the key from the last time the
+    slot was touched, rescaled each frame — it is NOT recomputed from the
+    current w/v).
+  * Scan slots in storage order, stopping at the first w < FLT_EPSILON;
+    match = first slot with ‖x−μ‖² < 6.25·Σv.
+  * Matched: w += α(1−w); μ += α·diff; v += α(diff²−v) floored per channel
+    at noiseσ²; sortKey := w_old/√Σv_new; then the slot bubbles UP while
+    the key above is strictly smaller (single-element insertion — the
+    array is only ever locally reordered, never fully sorted).
+  * No match: the slot at the break position (first empty, else K−1) is
+    replaced by (x, w₀ = 0.05, v₀ = 4·(default σ)² per channel,
+    sortKey = w₀/(2·default σ)); no bubbling.
+  * Unmatched weights are NOT decayed; instead all weights and sortKeys
+    are rescaled by 1/Σw every training frame.
+  * Mask: background iff the hit slot index (post-bubble) is below
+    kForeground = first index where the cumulative weight exceeds
+    backgroundRatio.
+
+The TPU formulation is gather-free: because only ONE slot changes per
+step, the insertion is expressed with a K-axis roll + masked selects, and
+state is laid out (K, H·W) / (3, K, H·W) so the pixel axis is the minor
+(lane) dimension — no argsort, no take_along_axis (the round-1 design's
+per-step full argsort + 4 minor-axis gathers made training ~30× slower
+than this).  Bit-exactness vs the C++ oracle is asserted by randomized
+probe tests (tests/test_gmm.py) per SURVEY.md §4.
 """
 
 from __future__ import annotations
@@ -39,17 +54,24 @@ from vbr_tpu.utils.config import MOGParams
 
 
 class MOGState(NamedTuple):
-    """Vectorized mixture state: leading dims = pixel grid (H, W)."""
+    """Apply-facing mixture state: leading dims = pixel grid (H, W).
+
+    ``var`` holds the per-mixture TOTAL (channel-summed) variance Σv —
+    exactly the quantity OpenCV's match gate ``d² < 6.25·Σv`` consumes.
+    Slots are in OpenCV storage order (bubble order); empty slots have
+    weight 0 and terminate the scan.
+    """
 
     weight: jnp.ndarray  # (..., K)
     mean: jnp.ndarray  # (..., K, 3)
-    var: jnp.ndarray  # (..., K) — per-mixture isotropic variance (per ch)
+    var: jnp.ndarray  # (..., K) — per-mixture total variance Σ_channels
     nframes: jnp.ndarray  # () int32
 
 
 VAR_THRESHOLD = 6.25  # 2.5² Mahalanobis-like gate (OpenCV defaultVarThreshold)
 INITIAL_WEIGHT = 0.05  # OpenCV defaultInitialWeight
-MIN_VAR_FACTOR = 1.0
+DEFAULT_NOISE_SIGMA = 15.0  # OpenCV bgsegm defaultNoiseSigma = 30·0.5
+FLT_EPSILON = np.float32(1.1920929e-07)
 
 
 def init_state(shape_hw, params: MOGParams) -> MOGState:
@@ -58,8 +80,170 @@ def init_state(shape_hw, params: MOGParams) -> MOGState:
     return MOGState(
         weight=jnp.zeros((H, W, K), jnp.float32),
         mean=jnp.zeros((H, W, K, 3), jnp.float32),
-        var=jnp.full((H, W, K), params.noise_sigma**2, jnp.float32),
+        var=jnp.zeros((H, W, K), jnp.float32),
         nframes=jnp.zeros((), jnp.int32),
+    )
+
+
+class MOGTrainState(NamedTuple):
+    """Training-time state in TPU-friendly layout: pixel axis minor.
+
+    Mirrors OpenCV's MixData fields including the *stored* sortKey (which
+    lags the live w/√Σv — OpenCV only refreshes it on a match and rescales
+    it with the weights every frame).
+    """
+
+    weight: jnp.ndarray  # (K, HW)
+    sort_key: jnp.ndarray  # (K, HW)
+    mean: jnp.ndarray  # (3, K, HW)
+    var: jnp.ndarray  # (3, K, HW) — per-channel variance
+    nframes: jnp.ndarray  # () int32
+
+
+def init_train_state(shape_hw, params: MOGParams) -> MOGTrainState:
+    H, W = shape_hw
+    K = params.n_mixtures
+    hw = H * W
+    return MOGTrainState(
+        weight=jnp.zeros((K, hw), jnp.float32),
+        sort_key=jnp.zeros((K, hw), jnp.float32),
+        mean=jnp.zeros((3, K, hw), jnp.float32),
+        var=jnp.zeros((3, K, hw), jnp.float32),
+        nframes=jnp.zeros((), jnp.int32),
+    )
+
+
+def _shift_down(arr: jnp.ndarray, k_axis: int) -> jnp.ndarray:
+    """out[..., j, ...] = arr[..., j-1, ...] along the K axis (j=0 dup)."""
+    lead = arr[(slice(None),) * k_axis + (slice(0, 1),)]
+    body = arr[(slice(None),) * k_axis + (slice(0, -1),)]
+    return jnp.concatenate([lead, body], axis=k_axis)
+
+
+def _train_step(
+    state: MOGTrainState, x: jnp.ndarray, params: MOGParams
+):
+    """One OpenCV-exact training step.
+
+    ``x``: (3, HW) f32 pixel values (already color-converted).  Returns
+    (new_state, fg_mask (HW,) bool) — the mask OpenCV's apply() would
+    emit during training.
+    """
+    nframes = state.nframes + 1
+    alpha = (
+        1.0 / jnp.minimum(nframes, params.history).astype(jnp.float32)
+    ).astype(jnp.float32)
+
+    w, key_s, mu, var = state.weight, state.sort_key, state.mean, state.var
+    K = w.shape[0]
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)  # (K, HW)
+
+    # --- scan: OpenCV walks slots in order and BREAKS at the first
+    # w < FLT_EPSILON, so only the leading valid prefix can match.
+    invalid = w < FLT_EPSILON
+    n_lead_valid = jnp.argmax(invalid, axis=0)  # first invalid index
+    n_lead_valid = jnp.where(invalid.any(axis=0), n_lead_valid, K)  # (HW,)
+    in_prefix = k_idx < n_lead_valid[None, :]
+
+    diff = x[:, None, :] - mu  # (3, K, HW)
+    d2 = diff[0] * diff[0] + diff[1] * diff[1] + diff[2] * diff[2]
+    varsum = (var[0] + var[1]) + var[2]  # (K, HW)
+    vt = np.float32(params.match_sigma**2)
+    matched = in_prefix & (d2 < vt * varsum)
+    any_match = matched.any(axis=0)  # (HW,)
+    c = jnp.argmax(matched, axis=0)  # hit slot (pre-bubble); 0 if none
+    is_hit = (k_idx == c[None, :]) & any_match[None, :]
+
+    # --- matched slot update (computed dense, selected by is_hit)
+    min_var = np.float32(params.noise_sigma**2)
+    w_upd = w + alpha * (1.0 - w)
+    mu_upd = mu + alpha * diff
+    var_upd = jnp.maximum(var + alpha * (diff * diff - var), min_var)
+    # NEW weight / sqrt(OLD Σvar): the C++ reuses the scalar Σvar it
+    # computed for the match gate (pre-update) in the sortKey denominator
+    # (behavior pinned down by black-box probes vs the bgsegm oracle —
+    # see tests/test_gmm.py oracle-parity probes).
+    key_upd = w_upd / jnp.sqrt(varsum)
+
+    w1 = jnp.where(is_hit, w_upd, w)
+    mu1 = jnp.where(is_hit[None], mu_upd, mu)
+    var1 = jnp.where(is_hit[None], var_upd, var)
+    key1 = jnp.where(is_hit, key_upd, key_s)
+
+    # --- single-element upward bubble (OpenCV: swap while the key above
+    # is strictly smaller; stop at the first key >= val).  Final position
+    # p = (largest j < c with stored key[j] >= val) + 1, else 0.
+    val_w = jnp.sum(jnp.where(is_hit, w_upd, 0.0), axis=0)  # (HW,)
+    val_key = jnp.sum(jnp.where(is_hit, key_upd, 0.0), axis=0)
+    val_mu = jnp.sum(jnp.where(is_hit[None], mu_upd, 0.0), axis=1)  # (3,HW)
+    val_var = jnp.sum(jnp.where(is_hit[None], var_upd, 0.0), axis=1)
+    blocker = (k_idx < c[None, :]) & (key_s >= val_key[None, :])
+    p = jnp.max(jnp.where(blocker, k_idx + 1, 0), axis=0)  # (HW,)
+
+    def bubble(arr, val, k_axis):
+        j = k_idx if k_axis == 0 else k_idx[None]
+        pp = p[None, :] if k_axis == 0 else p[None, None, :]
+        cc = c[None, :] if k_axis == 0 else c[None, None, :]
+        vv = val[None, :] if k_axis == 0 else val[:, None, :]
+        moved = jnp.where(
+            j == pp, vv, jnp.where((j > pp) & (j <= cc), _shift_down(arr, k_axis), arr)
+        )
+        am = any_match[None, :] if k_axis == 0 else any_match[None, None, :]
+        return jnp.where(am, moved, arr)
+
+    w2 = bubble(w1, val_w, 0)
+    key2 = bubble(key1, val_key, 0)
+    mu2 = bubble(mu1, val_mu, 1)
+    var2 = bubble(var1, val_var, 1)
+
+    # --- no match: replace the slot at the break position (first empty,
+    # else the last) with a fresh mode; no bubbling (OpenCV sets sk0 and
+    # moves on).  var0/sk0 use the DEFAULT noise sigma, independent of the
+    # instance's (bgfg_gaussmix constants).
+    w0 = np.float32(INITIAL_WEIGHT)
+    var0 = np.float32(4.0 * DEFAULT_NOISE_SIGMA**2)
+    sk0 = np.float32(INITIAL_WEIGHT / (2.0 * DEFAULT_NOISE_SIGMA))
+    r = jnp.minimum(n_lead_valid, K - 1)  # (HW,)
+    repl = (~any_match)[None, :] & (k_idx == r[None, :])
+    w3 = jnp.where(repl, w0, w2)
+    key3 = jnp.where(repl, sk0, key2)
+    mu3 = jnp.where(repl[None], x[:, None, :], mu2)
+    var3 = jnp.where(repl[None], var0, var2)
+
+    # --- renormalize weights AND sortKeys by 1/Σw (OpenCV does this every
+    # training frame; it is what decays unmatched weights)
+    wscale = 1.0 / jnp.sum(w3, axis=0)  # (HW,)
+    w4 = w3 * wscale[None, :]
+    key4 = key3 * wscale[None, :]
+
+    # --- training-mode mask: PRE-bubble hit index vs kForeground (probe-
+    # verified convention; the bubbled element's old position is compared)
+    k_hit = jnp.where(any_match, c, r)
+    cumw = jnp.cumsum(w4, axis=0)
+    over = cumw > np.float32(params.bg_ratio)
+    # OpenCV leaves kForeground = -1 when cumw never exceeds the ratio,
+    # which classifies everything as foreground — encode as k_fg = 0.
+    k_fg = jnp.where(over.any(axis=0), jnp.argmax(over, axis=0) + 1, 0)
+    fg = k_hit >= k_fg
+
+    new_state = MOGTrainState(
+        weight=w4, sort_key=key4, mean=mu3, var=var3, nframes=nframes
+    )
+    return new_state, fg
+
+
+def finalize_train_state(
+    ts: MOGTrainState, shape_hw, params: MOGParams
+) -> MOGState:
+    """Convert training layout → apply-facing MOGState (Σvar, (H,W,K))."""
+    H, W = shape_hw
+    K = ts.weight.shape[0]
+    varsum = (ts.var[0] + ts.var[1]) + ts.var[2]  # (K, HW)
+    return MOGState(
+        weight=jnp.transpose(ts.weight).reshape(H, W, K),
+        mean=jnp.transpose(ts.mean, (2, 1, 0)).reshape(H, W, K, 3),
+        var=jnp.transpose(varsum).reshape(H, W, K),
+        nframes=ts.nframes,
     )
 
 
@@ -73,68 +257,40 @@ def _sort_state(weight, mean, var):
     return weight, mean, var
 
 
-@functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
-def update(state: MOGState, frame: jnp.ndarray, params: MOGParams) -> MOGState:
-    """One training step on a (H, W, 3) uint8 frame (lr = auto)."""
-    nframes = state.nframes + 1
-    alpha = 1.0 / jnp.minimum(nframes, params.history).astype(jnp.float32)
-
-    x = frame.astype(jnp.float32)  # (H, W, 3)
-    w, mu, var = state.weight, state.mean, state.var
-    K = w.shape[-1]
-
-    diff = x[..., None, :] - mu  # (H, W, K, 3)
-    d2 = jnp.sum(diff * diff, axis=-1)  # (H, W, K)
-    matched = (d2 < VAR_THRESHOLD * 3.0 * var) & (w > 1e-7)
-    # first match in sorted order
-    any_match = matched.any(axis=-1)
-    first = jnp.argmax(matched, axis=-1)  # (H, W)
-    k_idx = jax.lax.broadcasted_iota(jnp.int32, w.shape, w.ndim - 1)
-    is_hit = (k_idx == first[..., None]) & any_match[..., None]
-
-    # matched update
-    w_new = jnp.where(is_hit, w + alpha * (1.0 - w), w * (1.0 - alpha))
-    mu_new = jnp.where(is_hit[..., None], mu + alpha * diff, mu)
-    var_cand = var + alpha * (d2 / 3.0 - var)
-    var_floor = params.noise_sigma**2 * MIN_VAR_FACTOR
-    var_new = jnp.where(is_hit, jnp.maximum(var_cand, var_floor), var)
-
-    # no-match replacement: weakest slot (K-1 after sort) gets a new mode
-    replace = (~any_match)[..., None] & (k_idx == K - 1)
-    w_new = jnp.where(replace, INITIAL_WEIGHT, w_new)
-    mu_new = jnp.where(replace[..., None], x[..., None, :], mu_new)
-    var_new = jnp.where(replace, params.var_init, var_new)
-
-    # normalize weights
-    w_new = w_new / jnp.maximum(jnp.sum(w_new, axis=-1, keepdims=True), 1e-12)
-
-    w_s, mu_s, var_s = _sort_state(w_new, mu_new, var_new)
-    return MOGState(weight=w_s, mean=mu_s, var=var_s, nframes=nframes)
-
-
 @functools.partial(jax.jit, static_argnames=("params",))
 def apply_frozen(state: MOGState, frame: jnp.ndarray, params: MOGParams):
     """Frozen inference (lr = 0): (H, W, 3) u8 → (H, W) u8 mask {0, 255}.
 
-    A pixel is background iff its first matching mixture lies within the
-    leading set whose cumulative weight ≤ backgroundRatio (OpenCV rule:
-    foreground when the matched index reaches the first k with
-    Σ_{i≤k} w_i > backgroundRatio).
+    OpenCV's alpha == 0 branch: scan slots in storage order, stop at the
+    first weight < FLT_EPSILON; background iff the first matching slot
+    index is below kForeground = first index whose cumulative weight
+    exceeds backgroundRatio.
     """
     x = frame.astype(jnp.float32)
     w, mu, var = state.weight, state.mean, state.var
+    K = w.shape[-1]
+
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, w.shape, w.ndim - 1)
+    invalid = w < FLT_EPSILON
+    n_lead = jnp.where(invalid.any(axis=-1), jnp.argmax(invalid, axis=-1), K)
+    in_prefix = k_idx < n_lead[..., None]
 
     diff = x[..., None, :] - mu
-    d2 = jnp.sum(diff * diff, axis=-1)
-    matched = (d2 < VAR_THRESHOLD * 3.0 * var) & (w > 1e-7)
+    d2 = (
+        diff[..., 0] * diff[..., 0]
+        + diff[..., 1] * diff[..., 1]
+        + diff[..., 2] * diff[..., 2]
+    )
+    vt = np.float32(params.match_sigma**2)
+    matched = in_prefix & (d2 < vt * var)
     any_match = matched.any(axis=-1)
     first = jnp.argmax(matched, axis=-1)
 
     cumw = jnp.cumsum(w, axis=-1)
-    # kForeground: first index with cumw > ratio (after it, mixtures are fg)
-    over = cumw > params.bg_ratio
-    k_fg = jnp.argmax(over, axis=-1) + 1  # mixtures [0, k_fg) are background
-    k_fg = jnp.where(over.any(axis=-1), k_fg, w.shape[-1])
+    over = cumw > np.float32(params.bg_ratio)
+    # kForeground: first index with cumw > ratio; OpenCV's "never" case
+    # (kForeground = -1) classifies everything as foreground → k_fg = 0.
+    k_fg = jnp.where(over.any(axis=-1), jnp.argmax(over, axis=-1) + 1, 0)
 
     is_bg = any_match & (first < k_fg)
     return jnp.where(is_bg, jnp.uint8(0), jnp.uint8(255))
@@ -145,20 +301,38 @@ def apply_frozen(state: MOGState, frame: jnp.ndarray, params: MOGParams):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
-def _train_chunk(state: MOGState, frames_hsv: jnp.ndarray, params: MOGParams):
-    def step(st, frame):
-        return update(st, frame, params), None
+@functools.partial(
+    jax.jit, static_argnames=("params", "emit_masks"), donate_argnums=(0,)
+)
+def _train_chunk(
+    state: MOGTrainState,
+    frames_conv: jnp.ndarray,  # (T, H, W, 3) u8, already color-converted
+    params: MOGParams,
+    emit_masks: bool = False,
+):
+    T, H, W, _ = frames_conv.shape
+    # (T, 3, HW) f32 — pixel axis minor for TPU lane tiling
+    xs = jnp.transpose(
+        frames_conv.reshape(T, H * W, 3).astype(jnp.float32), (0, 2, 1)
+    )
 
-    state, _ = jax.lax.scan(step, state, frames_hsv)
-    return state
+    def step(st, x):
+        st2, fg = _train_step(st, x, params)
+        return st2, (fg if emit_masks else None)
+
+    state, fgs = jax.lax.scan(step, state, xs)
+    if emit_masks:
+        masks = jnp.where(fgs, jnp.uint8(255), jnp.uint8(0)).reshape(T, H, W)
+        return state, masks
+    return state, None
 
 
 def train_mog(
     frames: np.ndarray,  # (T, H, W, 3) uint8 BGR
     params: MOGParams = MOGParams(),
     chunk: int = 16,
-) -> MOGState:
+    return_masks: bool = False,
+):
     """Train a MOG model over a frame sequence with ``lax.scan``.
 
     Mirrors ``train_MOG_background_model`` (background_subtraction.py:49-87):
@@ -167,15 +341,25 @@ def train_mog(
     The scan is dispatched in ``chunk``-frame pieces: keeps each device
     program short (long single programs can trip runtime watchdogs on
     tunneled TPU setups) and overlaps host decode with device compute.
+
+    Returns the apply-facing :class:`MOGState`; with ``return_masks`` also
+    the per-frame training masks (what OpenCV's apply() emits during
+    training) as a (T, H, W) u8 array.
     """
     T, H, W, _ = frames.shape
-    state = init_state((H, W), params)
+    state = init_train_state((H, W), params)
+    mask_parts = []
     for start in range(0, T, chunk):
         part = jnp.asarray(frames[start : start + chunk])
         if params.use_hsv:
             part = jax.vmap(color_ops.bgr_to_hsv_u8)(part)
-        state = _train_chunk(state, part, params)
-    return state
+        state, masks = _train_chunk(state, part, params, return_masks)
+        if return_masks:
+            mask_parts.append(np.asarray(masks))
+    final = finalize_train_state(state, (H, W), params)
+    if return_masks:
+        return final, np.concatenate(mask_parts, axis=0)
+    return final
 
 
 def extract_mask(

@@ -89,6 +89,9 @@ def save_mog_state(path: str, state) -> None:
         mean=np.asarray(state.mean),
         var=np.asarray(state.var),
         nframes=np.asarray(state.nframes),
+        # schema 2: var = per-mixture TOTAL (channel-summed) variance,
+        # slots in OpenCV storage order (see gmm.MOGState)
+        schema=np.int32(2),
     )
 
 
@@ -100,6 +103,8 @@ def load_mog_state(path: str):
     from vbr_tpu.ops import gmm
 
     d = np.load(path)
+    if "schema" not in d or int(d["schema"]) != 2:
+        return None  # stale cache from an older state schema → retrain
     return gmm.MOGState(
         weight=jnp.asarray(d["weight"]),
         mean=jnp.asarray(d["mean"]),
