@@ -96,3 +96,46 @@ class TestCLI:
         assert out.returncode == 0
         for cmd in ("calibrate", "masks", "carve", "mesh", "render", "view"):
             assert cmd in out.stdout
+
+
+class TestVideoSink:
+    """mp4v writer for annotated calibration artifacts (reference
+    camera_calibration.py:441-444,508-509)."""
+
+    def test_roundtrip_readable(self, tmp_path):
+        import cv2
+
+        from vbr_tpu.native import VideoSink
+
+        path = str(tmp_path / "annotated.mp4")
+        with VideoSink(path, 1.0, 64, 48) as sink:
+            for i in range(4):
+                frame = np.full((48, 64, 3), i * 60, np.uint8)
+                sink.write(frame)
+        assert os.path.getsize(path) > 100
+        cap = cv2.VideoCapture(path)
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        assert n == 4
+
+    def test_dimension_mismatch_raises(self, tmp_path):
+        from vbr_tpu.native import VideoSink
+
+        with VideoSink(str(tmp_path / "x.mp4"), 1.0, 64, 48) as sink:
+            with pytest.raises(ValueError):
+                sink.write(np.zeros((32, 32, 3), np.uint8))
+
+    def test_corner_overlay_draws(self):
+        from vbr_tpu.pipelines import validation
+
+        img = np.zeros((96, 128, 3), np.uint8)
+        pts = np.stack(
+            [np.linspace(10, 110, 48), np.linspace(10, 80, 48)], axis=-1
+        )
+        validation.draw_chessboard_corners(img, pts, (8, 6))
+        assert (img > 0).any()
+        # rainbow rows: more than one distinct color drawn
+        colors = np.unique(img.reshape(-1, 3), axis=0)
+        assert len(colors) > 3

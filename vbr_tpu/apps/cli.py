@@ -94,6 +94,19 @@ def cmd_calibrate(args):
                         obj[inliers], pts[inliers], K, dist, rvec, tvec
                     )
                     pose = (rvec, tvec, err, fi)
+                    if getattr(args, "annotate", True):
+                        # checkerboard_imagepoints.jpg — the reference's
+                        # audit still (camera_calibration.py:482-484)
+                        overlay = frame.copy()
+                        validation.draw_chessboard_corners(
+                            overlay, pts, board
+                        )
+                        out_jpg = os.path.join(
+                            args.out_dir, f"cam{cam}",
+                            "checkerboard_imagepoints.jpg",
+                        )
+                        os.makedirs(os.path.dirname(out_jpg), exist_ok=True)
+                        cv2.imwrite(out_jpg, overlay)
                     break
                 fi += 1
             cap.release()
@@ -121,6 +134,8 @@ def cmd_calibrate(args):
         image_points = []
         frame_idx = 0
         w = h = None
+        sink = None
+        annotate = getattr(args, "annotate", True)
         while True:
             ok, frame = cap.read()
             if not ok or (args.stop_frame and frame_idx >= args.stop_frame):
@@ -131,8 +146,30 @@ def cmd_calibrate(args):
                 pts = corner_ops.detect_chessboard(gray, board)
                 if pts is not None:
                     image_points.append(pts.astype(np.float32))
+                if annotate:
+                    # annotated detection video, 1 fps — the reference's
+                    # intrinsics_imagepoints.mp4 audit artifact
+                    # (camera_calibration.py:441-444,508-509)
+                    from vbr_tpu.pipelines import validation
+
+                    if sink is None:
+                        from vbr_tpu.native import VideoSink
+
+                        out_mp4 = os.path.join(
+                            args.out_dir, f"cam{cam}",
+                            f"{os.path.splitext(args.video)[0]}"
+                            "_imagepoints.mp4",
+                        )
+                        os.makedirs(os.path.dirname(out_mp4), exist_ok=True)
+                        sink = VideoSink(out_mp4, 1.0, w, h)
+                    overlay = frame.copy()
+                    if pts is not None:
+                        validation.draw_chessboard_corners(overlay, pts, board)
+                    sink.write(overlay)
             frame_idx += 1
         cap.release()
+        if sink is not None:
+            sink.close()
         print(f"cam{cam}: {len(image_points)} views with detected corners")
         if len(image_points) < 3:
             print(f"cam{cam}: not enough views; skipping")
@@ -384,6 +421,10 @@ def main(argv=None):
                    help="leave-one-out view discarding (reference "
                         "camera_calibration.py:522-563)")
     p.add_argument("--discard-threshold", type=float, default=0.15)
+    p.add_argument("--no-annotate", dest="annotate", action="store_false",
+                   default=True,
+                   help="skip corner-overlay audit artifacts "
+                        "(*_imagepoints.mp4 / checkerboard_imagepoints.jpg)")
     p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("masks")

@@ -6,6 +6,8 @@ Provides:
   * :class:`MOGOracle` — the actual ``cv::bgsegm`` C++ MOG model, used as
     the parity oracle for the JAX implementation (the Python cv2 wheel
     here lacks the bgsegm contrib module).
+  * :class:`VideoSink` — mp4v encoder for annotated calibration artifacts
+    (reference camera_calibration.py:441-444,508-509).
 """
 
 from __future__ import annotations
@@ -48,6 +50,16 @@ def _lib():
             ctypes.c_double, ctypes.c_void_p,
         ]
         lib.vbr_mog_release.argtypes = [ctypes.c_void_p]
+
+        lib.vbr_writer_create.restype = ctypes.c_void_p
+        lib.vbr_writer_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.vbr_writer_write.restype = ctypes.c_int
+        lib.vbr_writer_write.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.vbr_writer_release.argtypes = [ctypes.c_void_p]
         _LIB = lib
     return _LIB
 
@@ -80,6 +92,50 @@ class PrefetchingSource:
         if self._h:
             _lib().vbr_source_close(self._h)
             self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class VideoSink:
+    """mp4v video encoder (native cv::VideoWriter).
+
+    Used for the annotated corner-detection videos the reference writes
+    during calibration (``intrinsics_imagepoints.mp4``, 1 fps,
+    camera_calibration.py:441-444).
+    """
+
+    def __init__(self, path: str, fps: float, width: int, height: int):
+        self.width, self.height = width, height
+        self._h = _lib().vbr_writer_create(
+            path.encode(), float(fps), int(width), int(height)
+        )
+        if not self._h:
+            raise IOError(f"cannot open video writer: {path}")
+
+    def write(self, frame: np.ndarray):
+        """Append a (H, W, 3) u8 BGR frame."""
+        frame = np.ascontiguousarray(frame, dtype=np.uint8)
+        H, W, _ = frame.shape
+        if (W, H) != (self.width, self.height):
+            raise ValueError(f"frame {W}x{H} != writer {self.width}x{self.height}")
+        _lib().vbr_writer_write(
+            self._h, frame.ctypes.data_as(ctypes.c_void_p), H, W
+        )
+
+    def close(self):
+        if self._h:
+            _lib().vbr_writer_release(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __del__(self):
         try:

@@ -192,4 +192,35 @@ void vbr_mog_release(void* handle) {
   delete static_cast<cv::Ptr<cv::bgsegm::BackgroundSubtractorMOG>*>(handle);
 }
 
+// ---- video encoder (annotated calibration artifacts) ----
+//
+// mp4v writer matching the reference's annotated corner-detection videos
+// (camera_calibration.py:441-444,508-509 → intrinsics_imagepoints.mp4).
+
+void* vbr_writer_create(const char* path, double fps, int width, int height) {
+  auto* w = new cv::VideoWriter(
+      path, cv::VideoWriter::fourcc('m', 'p', '4', 'v'), fps,
+      cv::Size(width, height));
+  if (!w->isOpened()) {
+    delete w;
+    return nullptr;
+  }
+  return w;
+}
+
+// frame: (H, W, 3) u8 BGR, dimensions must match the writer's.
+int vbr_writer_write(void* handle, const uint8_t* frame, int height,
+                     int width) {
+  auto* w = static_cast<cv::VideoWriter*>(handle);
+  cv::Mat img(height, width, CV_8UC3, const_cast<uint8_t*>(frame));
+  w->write(img);
+  return 1;
+}
+
+void vbr_writer_release(void* handle) {
+  auto* w = static_cast<cv::VideoWriter*>(handle);
+  w->release();
+  delete w;
+}
+
 }  // extern "C"

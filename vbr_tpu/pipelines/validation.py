@@ -79,6 +79,48 @@ def draw_cube(img: np.ndarray, K, dist, rvec, tvec, size: float = 230.0):
     return img
 
 
+def draw_circle(img: np.ndarray, center, radius: int, color, thickness: int = 2):
+    """Rasterized circle outline on a BGR uint8 image (in place)."""
+    H, W = img.shape[:2]
+    cx, cy = float(center[0]), float(center[1])
+    n = max(int(2 * np.pi * radius), 8)
+    ang = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    for rr in range(max(radius - thickness // 2, 1), radius + thickness // 2 + 1):
+        u = np.clip((cx + rr * np.cos(ang)).astype(int), 0, W - 1)
+        v = np.clip((cy + rr * np.sin(ang)).astype(int), 0, H - 1)
+        img[v, u] = color
+    return img
+
+
+def draw_chessboard_corners(
+    img: np.ndarray, pts: np.ndarray, board: Tuple[int, int],
+    found: bool = True,
+):
+    """cv2.drawChessboardCorners-style overlay (in place).
+
+    Detected corners joined row by row with a per-row rainbow color and a
+    circle per corner — the annotation the reference stores in its
+    ``intrinsics_imagepoints.mp4`` / ``checkerboard_imagepoints.jpg``
+    artifacts (camera_calibration.py:438-444,482-484).
+    """
+    pts = np.asarray(pts, np.float64).reshape(-1, 2)
+    if not found or len(pts) == 0:
+        return img
+    bw, bh = board
+    rainbow = [
+        (0, 0, 255), (0, 128, 255), (0, 255, 255), (0, 255, 0),
+        (255, 128, 0), (255, 0, 0), (255, 0, 255), (128, 0, 255),
+    ]
+    for i in range(len(pts) - 1):
+        row = i // bw
+        color = rainbow[row % len(rainbow)]
+        draw_line(img, pts[i], pts[i + 1], color, 1)
+    for i, p in enumerate(pts):
+        row = i // bw
+        draw_circle(img, p, 4, rainbow[row % len(rainbow)], 1)
+    return img
+
+
 def test_camera_parameters_with_image(
     data_dir: str,
     camera: int,
