@@ -63,6 +63,54 @@ def test_sharded_marching_cubes_matches_single(rig_cameras):
     tris_s, n_s = mesh_sharded.extract_mesh_sharded(vol, mesh)
     tris_r, n_r = mc.extract_mesh(vol)
     assert n_s == n_r
-    a = np.sort(tris_s.reshape(n_s, -1), axis=0)
-    b = np.sort(tris_r.reshape(n_r, -1), axis=0)
-    np.testing.assert_allclose(a, b, atol=1e-6)
+    # on-shard emission preserves the exact global cell order → soup is
+    # bit-identical, not just set-equal
+    np.testing.assert_array_equal(tris_s, tris_r)
+
+
+def test_sharded_marching_cubes_capacity_overflow_recovers():
+    from jax.sharding import Mesh
+
+    vol = np.zeros((16, 12, 12), bool)
+    vol[4:12, 2:10, 2:10] = True  # 8×8×8 solid box
+
+    devices = np.asarray(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, axis_names=("grid",))
+    # capacity 8 per shard is far too small: the overflow path must
+    # detect via counts and re-run with a larger capacity
+    tris_s, n_s = mesh_sharded.extract_mesh_sharded(vol, mesh, capacity=8)
+    tris_r, n_r = mc.extract_mesh(vol)
+    assert n_s == n_r
+    np.testing.assert_array_equal(tris_s, tris_r)
+
+
+def test_sharded_marching_cubes_scaled_coords():
+    from jax.sharding import Mesh
+
+    vol = np.zeros((16, 10, 10), bool)
+    vol[3:12, 2:8, 3:9] = True
+    devices = np.asarray(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, axis_names=("grid",))
+    tris_s, _ = mesh_sharded.extract_mesh_sharded(
+        vol, mesh, origin=(10, 20, 30), spacing=(2, 2, 2)
+    )
+    tris_r, _ = mc.extract_mesh(vol, origin=(10, 20, 30), spacing=(2, 2, 2))
+    np.testing.assert_array_equal(tris_s, tris_r)
+
+
+@pytest.mark.slow
+def test_sharded_marching_cubes_256(rig_cameras):
+    """VERDICT r1 item 6 gate: sharded == single-device at 256³."""
+    from jax.sharding import Mesh
+
+    n = 256
+    g = np.arange(n, dtype=np.float32)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    vol = ((x - 128) ** 2 + (y - 120) ** 2 + (z - 136) ** 2) < 100.0**2
+
+    devices = np.asarray(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, axis_names=("grid",))
+    tris_s, n_s = mesh_sharded.extract_mesh_sharded(vol, mesh, capacity=32768)
+    tris_r, n_r = mc.extract_mesh(vol)
+    assert n_s == n_r
+    np.testing.assert_array_equal(tris_s, tris_r)

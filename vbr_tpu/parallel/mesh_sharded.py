@@ -1,11 +1,26 @@
-"""Sharded marching-cubes support: halo exchange over the grid axis.
+"""Sharded marching cubes: halo exchange + on-shard triangle emission.
 
 Surface extraction from a voxel volume sharded along x needs each shard
 to see one extra voxel plane from its +x neighbor (cells straddle the
 shard boundary) — the ring-communication analog of this workload
 (SURVEY.md §5 "long-context/sequence parallelism").  The halo moves with
-``ppermute`` over ICI; each shard then runs the dense active-cell pass on
-its slab + halo.
+``ppermute`` over ICI.
+
+The whole extraction runs inside one sharded program (reference:
+the host-side ``skimage.measure.marching_cubes`` call at
+voxel_reconstruction.py:142):
+
+  1. active-cell sweep on the local slab + halo (dense O(N³) pass),
+  2. static-shape compaction of active-cell indices on-device
+     (``jnp.nonzero(size=capacity)``),
+  3. marching-tetrahedra triangle emission into a fixed-capacity
+     per-shard buffer,
+  4. per-shard active-cell counts + a ``psum`` total over the grid axis.
+
+Shard s owns cells with global x ∈ [s·local_nx, (s+1)·local_nx), in
+ascending local flat order — concatenating shard outputs reproduces the
+exact global cell order of the single-device path, so the triangle soup
+is bit-identical to ``marching_cubes.extract_mesh`` (tested).
 """
 
 from __future__ import annotations
@@ -17,29 +32,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vbr_tpu.ops import marching_cubes as mc
 
+_EXTRACTOR_CACHE: dict = {}
+
 
 def sharded_active_cells(mesh: Mesh, axis: str = "grid"):
     """Build a jitted sharded active-cell pass with +x halo exchange.
 
     Input volume (nx, ny, nz) bool sharded along dim 0 over ``axis``;
-    output (nx-1, ny-1, nz-1) bool of cells whose corners differ, sharded
+    output (nx, ny-1, nz-1) bool of cells whose corners differ, sharded
     the same way (the last shard's slab is one plane shorter — padded with
     False to keep shapes static).
     """
 
     def _local(vol):
-        n_shards = jax.lax.axis_size(axis)
-        idx = jax.lax.axis_index(axis)
-        # receive the first plane of the +1 neighbor (ring permute)
-        first_plane = vol[0:1]
-        perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-        halo = jax.lax.ppermute(first_plane, axis, perm)
-        ext = jnp.concatenate([vol, halo], axis=0)  # (local_nx+1, ny, nz)
-        act = mc.active_cells_mask(ext)  # (local_nx, ny-1, nz-1)
-        # the last shard's halo wrapped around from shard 0 — mask it out
-        is_last = idx == n_shards - 1
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, act.shape, 0)
-        act = act & ~(is_last & (row_ids == act.shape[0] - 1))
+        act, _ = _local_active(vol, axis)
         return act
 
     mapped = jax.shard_map(
@@ -52,20 +58,90 @@ def sharded_active_cells(mesh: Mesh, axis: str = "grid"):
     return jax.jit(mapped)
 
 
+def _local_active(vol, axis):
+    """Shard-local active-cell mask on the slab + ppermute halo.
+
+    Returns (act (local_nx, ny-1, nz-1) bool, ext (local_nx+1, ny, nz)).
+    """
+    n_shards = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    # receive the first plane of the +1 neighbor (ring permute)
+    first_plane = vol[0:1]
+    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    halo = jax.lax.ppermute(first_plane, axis, perm)
+    ext = jnp.concatenate([vol, halo], axis=0)  # (local_nx+1, ny, nz)
+    act = mc.active_cells_mask(ext)  # (local_nx, ny-1, nz-1)
+    # the last shard's halo wrapped around from shard 0 — mask it out
+    is_last = idx == n_shards - 1
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, act.shape, 0)
+    act = act & ~(is_last & (row_ids == act.shape[0] - 1))
+    return act, ext
+
+
+def sharded_mesh_extractor(mesh: Mesh, axis: str = "grid",
+                           capacity: int = 16384):
+    """Jitted sharded program: volume → per-shard triangle buffers.
+
+    ``capacity`` is the PER-SHARD active-cell capacity.  Returns
+    ``(verts (n_shards·capacity·12, 3, 3) f32 voxel coords,
+       valid (n_shards·capacity·12,) bool,
+       counts (n_shards,) i32 active cells per shard,
+       total (1,) i32 psum over the grid axis)``.
+    Shard slots beyond a shard's count are invalid; a shard whose count
+    exceeds ``capacity`` has truncated output (caller must re-run with a
+    larger capacity — counts make that detectable).
+    """
+    key = (mesh, axis, capacity)
+    if key in _EXTRACTOR_CACHE:
+        return _EXTRACTOR_CACHE[key]
+
+    def _local(vol):  # (local_nx, ny, nz) bool
+        act, ext = _local_active(vol, axis)
+        flat = act.reshape(-1)
+        count = jnp.sum(flat, dtype=jnp.int32)
+        # static-shape compaction: ascending local flat order matches the
+        # single-device global order within this shard's x-range
+        (cell_idx,) = jnp.nonzero(flat, size=capacity, fill_value=0)
+        verts, valid = mc._emit_triangles(ext, cell_idx, capacity=capacity)
+        slot = jax.lax.iota(jnp.int32, capacity * 12) // 12
+        valid = valid & (slot < count)
+        # local → global x
+        x_off = (jax.lax.axis_index(axis) * vol.shape[0]).astype(jnp.float32)
+        verts = verts.at[:, :, 0].add(x_off)
+        total = jax.lax.psum(count, axis)
+        return verts, valid, count[None], total[None]
+
+    mapped = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=P(axis, None, None),
+        out_specs=(P(axis, None, None), P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    fn = jax.jit(mapped)
+    _EXTRACTOR_CACHE[key] = fn
+    return fn
+
+
 def extract_mesh_sharded(
     volume: np.ndarray,
     mesh: Mesh,
     axis: str = "grid",
     origin=(0.0, 0.0, 0.0),
     spacing=(1.0, 1.0, 1.0),
-    capacity: int = 65536,
+    capacity: int = 16384,
 ):
-    """Distributed-volume surface extraction.
+    """Distributed-volume surface extraction, fully on-device.
 
-    The active-cell sweep (the dense O(N³) part) runs sharded with halo
-    exchange; triangle emission runs on the gathered active set (sparse).
-    Returns (tris (T, 3, 3) float32, count) — identical to
-    ``marching_cubes.extract_mesh`` on the unsharded volume (tested).
+    Active-cell sweep, index compaction, and triangle emission all run
+    inside one sharded program per shard (halo included); the host only
+    filters the fixed-capacity buffers.  Returns (tris (T, 3, 3) float32,
+    count) — bit-identical to ``marching_cubes.extract_mesh`` on the
+    unsharded volume (tested at 256³ on the 8-device CPU mesh).
+
+    ``capacity`` is the initial per-shard active-cell capacity; on
+    overflow (detected via the returned per-shard counts) the program is
+    re-run with the next power-of-two capacity.
     """
     nx = volume.shape[0]
     n_shards = mesh.shape[axis]
@@ -75,30 +151,20 @@ def extract_mesh_sharded(
     vol_sharded = jax.device_put(
         jnp.asarray(volume), NamedSharding(mesh, P(axis, None, None))
     )
-    act_fn = sharded_active_cells(mesh, axis)
-    act = np.asarray(act_fn(vol_sharded))  # (nx, ny-1, nz-1): padded rows
+    cap = capacity
+    while True:
+        fn = sharded_mesh_extractor(mesh, axis, cap)
+        verts, valid, counts, total = fn(vol_sharded)
+        counts = np.asarray(counts)
+        if counts.max(initial=0) <= cap:
+            break
+        cap = 1 << int(np.ceil(np.log2(counts.max())))
 
-    # convert shard-local cell rows back to global cell indices:
-    # shard s contributes rows [s*local, s*local + local) of the extended
-    # volume; globally valid cells are rows [0, nx-1)
-    act_global = act[: nx - 1]
-    idx = np.flatnonzero(act_global.reshape(-1))
-
-    volume_d = jnp.asarray(volume)
-    tris_out = []
-    for start in range(0, len(idx), capacity):
-        chunk = idx[start : start + capacity]
-        padded = np.zeros(capacity, np.int64)
-        padded[: len(chunk)] = chunk
-        verts, valid = mc._emit_triangles(
-            volume_d, jnp.asarray(padded), capacity=capacity
-        )
-        verts = np.asarray(verts)
-        valid = np.asarray(valid).copy()
-        valid[len(chunk) * 12 :] = False
-        tris_out.append(verts[valid])
-    if not tris_out:
-        return np.zeros((0, 3, 3), np.float32), 0
-    tris = np.concatenate(tris_out)
-    tris = tris * np.asarray(spacing, np.float32) + np.asarray(origin, np.float32)
+    verts = np.asarray(verts)
+    valid = np.asarray(valid)
+    tris = verts[valid]
+    assert len(tris) <= 12 * int(np.asarray(total)[0])
+    tris = tris * np.asarray(spacing, np.float32) + np.asarray(
+        origin, np.float32
+    )
     return tris.astype(np.float32), len(tris)
