@@ -80,3 +80,99 @@ def test_shadow_pipeline_builds():
         )
         cubes.draw()
         shadow.unbind((64, 64))
+
+
+def test_scene_parity_render(tmp_path, rig_cameras):
+    """Full reference-parity scene through the real GL path: assimp
+    camera models at rig poses, frustum wireframes, and a marching-cubes
+    surface via StaticMesh (VERDICT r1 item 7)."""
+    from OpenGL import GL as gl
+
+    from vbr_tpu.ops import marching_cubes as mc
+    from vbr_tpu.viewer import gl_engine as eng
+    from vbr_tpu.viewer import scene
+    from vbr_tpu.viewer.offscreen import OffscreenContext
+
+    W, H = 320, 240
+    with OffscreenContext(W, H) as ctx:
+        gl.glEnable(gl.GL_DEPTH_TEST)
+        prog = eng.compile_program(eng.VERT_SRC, eng.FRAG_SRC)
+        hdr = eng.HDRPipeline(W, H, blur_passes=2)
+        cam = eng.FlyCamera(position=(0, 15, 30), pitch=-25, yaw=-90)
+
+        # camera props with baked rotations (falls back to cubes if the
+        # reference resources are absent)
+        res_dir = "/root/reference/resources/models"
+        from vbr_tpu.pipelines.reconstruction import get_cam_positions
+
+        cam_pos, cam_col = get_cam_positions(rig_cameras)
+        cam_meshes = []
+        for tris, pos, col in zip(
+            scene.camera_model_tris(rig_cameras, res_dir),
+            np.asarray(cam_pos, np.float32), np.asarray(cam_col, np.float32),
+        ):
+            m = eng.InstancedCubes(max_instances=1, geometry=tris)
+            m.set_instances(pos[None], col[None])
+            cam_meshes.append(m)
+
+        frusta = eng.Lines()
+        frusta.set_segments(scene.rig_frustum_segments(rig_cameras))
+
+        surface = eng.StaticMesh()
+        vol = np.zeros((16, 16, 16), bool)
+        vol[4:12, 4:12, 4:12] = True
+        tris_mm, _ = mc.extract_mesh(
+            vol, origin=(-512, -1024, -2048), spacing=(96, 128, 160)
+        )
+        surface.set_triangles(scene.surface_tris_to_viewer(tris_mm))
+        assert surface.count > 0
+
+        hdr.bind_scene()
+        gl.glClearColor(0.0, 0.0, 0.0, 1.0)
+        gl.glClear(gl.GL_COLOR_BUFFER_BIT | gl.GL_DEPTH_BUFFER_BIT)
+        vp = (eng.perspective(45.0, W / H, 0.1, 500.0) @ cam.view_matrix())
+        gl.glUseProgram(prog)
+        gl.glUniformMatrix4fv(
+            gl.glGetUniformLocation(prog, "u_view_proj"), 1, True,
+            vp.astype(np.float32),
+        )
+        gl.glUniform1f(gl.glGetUniformLocation(prog, "u_scale"), 1.0)
+        for m in cam_meshes:
+            m.draw()
+        surface.draw(vp)
+        frusta.draw(vp)
+        hdr.resolve(target_fbo=ctx._fbo)
+
+        img = ctx.read_pixels()
+        assert img.std() > 5, "scene should contain visible geometry"
+
+        from vbr_tpu.viewer import headless
+
+        headless.save_png(str(tmp_path / "scene_parity.png"), img)
+
+
+def test_custom_geometry_instancing():
+    """InstancedCubes with a non-cube triangle soup (square prop)."""
+    from OpenGL import GL as gl
+
+    from vbr_tpu.viewer import gl_engine as eng
+    from vbr_tpu.viewer.offscreen import OffscreenContext
+
+    with OffscreenContext(64, 64) as ctx:
+        tri = np.array([[[-1, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+        m = eng.InstancedCubes(max_instances=4, geometry=tri)
+        assert m.n_verts == 3
+        m.set_instances(np.zeros((2, 3), np.float32),
+                        np.ones((2, 3), np.float32))
+        prog = eng.compile_program(eng.VERT_SRC, eng.FRAG_SRC)
+        ctx.bind_default()
+        gl.glClear(gl.GL_COLOR_BUFFER_BIT | gl.GL_DEPTH_BUFFER_BIT)
+        gl.glUseProgram(prog)
+        vp = np.eye(4, dtype=np.float32)
+        gl.glUniformMatrix4fv(
+            gl.glGetUniformLocation(prog, "u_view_proj"), 1, True, vp
+        )
+        gl.glUniform1f(gl.glGetUniformLocation(prog, "u_scale"), 1.0)
+        m.draw()
+        img = ctx.read_pixels()
+        assert (img > 0).any()

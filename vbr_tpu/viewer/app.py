@@ -2,7 +2,14 @@
 
 The ``executable.py`` equivalent: window + render loop + input handling;
 ``G`` advances to the next video frame and re-carves (the reference's
-re-voxelize key, executable.py:185-188), WASD/mouse fly the camera.
+re-voxelize key, executable.py:185-188), ``M`` toggles the voxel cloud ↔
+marching-cubes surface display, ``F`` toggles frustum wireframes,
+WASD/mouse fly the camera.
+
+Scene parity with the reference (executable.py:110-127): the assimp-JSON
+camera model is drawn at each camera pose with its viewer rotation matrix,
+the floor checkerboard uses the square prop, and voxels use the cube prop
+(built-in geometry fallbacks when the model files are absent).
 
 Consumes ONLY the reconstruction pipeline's public contract — positions +
 colors arrays — exactly like the reference viewer's 4-function seam
@@ -21,11 +28,15 @@ from vbr_tpu.pipelines import background, reconstruction
 from vbr_tpu.utils import video as vio
 
 
-def run_viewer(data_dir: str, config: AppConfig = AppConfig()):
+def run_viewer(data_dir: str, config: AppConfig = AppConfig(),
+               resources_dir: str | None = None):
     import glfw
     from OpenGL import GL as gl
 
+    from vbr_tpu.ops import carve as carve_ops
+    from vbr_tpu.ops import marching_cubes as mc
     from vbr_tpu.viewer import gl_engine as eng
+    from vbr_tpu.viewer import scene
 
     if not glfw.init():
         raise RuntimeError("glfw.init failed (no display?)")
@@ -44,12 +55,21 @@ def run_viewer(data_dir: str, config: AppConfig = AppConfig()):
     gl.glEnable(gl.GL_DEPTH_TEST)
     gl.glEnable(gl.GL_CULL_FACE)
 
+    if resources_dir is None:
+        resources_dir = scene.default_resources_dir(data_dir)
+
     prog = eng.compile_program(eng.VERT_SRC, eng.FRAG_SRC)
-    cubes = eng.InstancedCubes()
-    floor = eng.InstancedCubes(max_instances=config.world_width * config.world_depth)
-    cams_mesh = eng.InstancedCubes(max_instances=16)
+    cube_tris = scene.load_prop_tris(resources_dir, "cube")
+    square_tris = scene.load_prop_tris(resources_dir, "square")
+    cubes = eng.InstancedCubes(geometry=cube_tris)
+    floor = eng.InstancedCubes(
+        max_instances=config.world_width * config.world_depth,
+        geometry=square_tris,
+    )
     hdr = eng.HDRPipeline(config.window_width, config.window_height)
     camera = eng.FlyCamera()
+    surface = eng.StaticMesh()
+    frusta = eng.Lines()
 
     # pipeline state
     grid = GridConfig(
@@ -61,22 +81,56 @@ def run_viewer(data_dir: str, config: AppConfig = AppConfig()):
     bg_pipe = background.BackgroundPipeline(data_dir)
     source = vio.MultiCameraSource(data_dir)
 
-    floor_pos, floor_col = reconstruction.generate_grid(
-        config.world_width, config.world_width
+    floor_pos, floor_col, cam_pos, cam_col = scene.floor_and_cam_instances(
+        cams, config.world_width, config.world_width
     )
-    floor.set_instances(np.asarray(floor_pos), np.asarray(floor_col))
-    cam_pos, cam_col = reconstruction.get_cam_positions(cams)
-    cams_mesh.set_instances(np.asarray(cam_pos, np.float64), np.asarray(cam_col))
+    floor.set_instances(floor_pos, floor_col)
+
+    # each camera: its own rotated prop model, one instance at its center
+    # (executable.py:110,125-127)
+    cam_meshes = []
+    for tris, pos, col in zip(
+        scene.camera_model_tris(cams, resources_dir), cam_pos, cam_col
+    ):
+        m = eng.InstancedCubes(max_instances=1, geometry=tris)
+        m.set_instances(pos[None], col[None])
+        cam_meshes.append(m)
+    frusta.set_segments(
+        scene.rig_frustum_segments(
+            cams, (rig.image_height, rig.image_width)
+        )
+    )
+
+    state = {"last_x": None, "last_y": None,
+             "show_mesh": False, "show_frusta": True, "occ_vol": None}
 
     def recarve():
         frames = source.next_frames()
         if frames is None:
             return
         masks = bg_pipe.masks_for_frames(frames)
-        pos, col = recon.carve_frame_compact(masks, frames)
-        cubes.set_instances(pos, col)
+        occ, col = recon.carve_frame(masks, frames)
+        pos, rgb = carve_ops.compact_voxels(
+            occ, col, grid, rig.scaling_factor
+        )
+        cubes.set_instances(pos, rgb)
+        state["occ_vol"] = np.asarray(occ).reshape(grid.shape)
+        if state["show_mesh"]:
+            rebuild_surface()
 
-    state = {"last_x": None, "last_y": None}
+    def rebuild_surface():
+        vol = state["occ_vol"]
+        if vol is None:
+            return
+        xs, ys, zs = grid.axis_ranges()
+        tris_mm, _ = mc.extract_mesh(
+            vol,
+            origin=(xs[0], ys[0], zs[0]),
+            spacing=(xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]),
+        )
+        surface.set_triangles(
+            scene.surface_tris_to_viewer(tris_mm, rig.scaling_factor)
+        )
 
     def key_cb(win, key, scancode, action, mods):
         import glfw as g
@@ -87,6 +141,12 @@ def run_viewer(data_dir: str, config: AppConfig = AppConfig()):
             g.set_window_should_close(win, True)
         if key == g.KEY_G:
             recarve()
+        if key == g.KEY_M:
+            state["show_mesh"] = not state["show_mesh"]
+            if state["show_mesh"] and surface.count == 0:
+                rebuild_surface()
+        if key == g.KEY_F:
+            state["show_frusta"] = not state["show_frusta"]
 
     def mouse_cb(win, x, y):
         if state["last_x"] is not None:
@@ -121,9 +181,16 @@ def run_viewer(data_dir: str, config: AppConfig = AppConfig()):
         gl.glUniformMatrix4fv(
             gl.glGetUniformLocation(prog, "u_view_proj"), 1, True, vp
         )
-        for mesh, scale in ((floor, 1.0), (cubes, 1.0), (cams_mesh, 1.5)):
+        draws = [(floor, 1.0)] + [(m, 1.0) for m in cam_meshes]
+        if not state["show_mesh"]:
+            draws.append((cubes, 1.0))
+        for mesh, scale in draws:
             gl.glUniform1f(gl.glGetUniformLocation(prog, "u_scale"), scale)
             mesh.draw()
+        if state["show_mesh"]:
+            surface.draw(vp)
+        if state["show_frusta"]:
+            frusta.draw(vp)
 
         hdr.resolve()
         glfw.swap_buffers(window)

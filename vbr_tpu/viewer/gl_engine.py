@@ -198,10 +198,19 @@ def compile_program(vs_src: str, fs_src: str) -> int:
 
 
 class InstancedCubes:
-    """VAO with static cube geometry + dynamic per-instance position/color
-    VBOs at divisor 1 (engine/renderable/mesh.py:62-67,80-94 equivalent)."""
+    """VAO with static geometry + dynamic per-instance position/color
+    VBOs at divisor 1 (engine/renderable/mesh.py:62-67,80-94 equivalent).
 
-    def __init__(self, max_instances: int = 2_200_000):
+    ``geometry``: optional (M, 3) or (T, 3, 3) f32 triangle soup to draw
+    per instance instead of the built-in unit cube — used for the
+    reference's assimp-JSON cube/square/camera props (executable.py:
+    110-112); per-model rotations are pre-baked into the soup."""
+
+    def __init__(self, max_instances: int = 2_200_000,
+                 geometry: Optional[np.ndarray] = None):
+        geom = (CUBE_VERTS if geometry is None
+                else np.ascontiguousarray(geometry, np.float32).reshape(-1))
+        self.n_verts = len(geom) // 3
         self.max_instances = max_instances
         self.count = 0
         self.vao = gl.glGenVertexArrays(1)
@@ -209,7 +218,7 @@ class InstancedCubes:
 
         self.vbo_geom = gl.glGenBuffers(1)
         gl.glBindBuffer(gl.GL_ARRAY_BUFFER, self.vbo_geom)
-        gl.glBufferData(gl.GL_ARRAY_BUFFER, CUBE_VERTS.nbytes, CUBE_VERTS,
+        gl.glBufferData(gl.GL_ARRAY_BUFFER, geom.nbytes, geom,
                         gl.GL_STATIC_DRAW)
         gl.glEnableVertexAttribArray(0)
         gl.glVertexAttribPointer(0, 3, gl.GL_FLOAT, False, 12, None)
@@ -245,8 +254,151 @@ class InstancedCubes:
     def draw(self):
         if self.count:
             gl.glBindVertexArray(self.vao)
-            gl.glDrawArraysInstanced(gl.GL_TRIANGLES, 0, 36, self.count)
+            gl.glDrawArraysInstanced(gl.GL_TRIANGLES, 0, self.n_verts,
+                                     self.count)
             gl.glBindVertexArray(0)
+
+
+MESH_VERT = """
+#version 330 core
+layout(location = 0) in vec3 in_pos;
+layout(location = 1) in vec3 in_normal;
+uniform mat4 u_view_proj;
+out vec3 v_normal;
+void main() {
+    gl_Position = u_view_proj * vec4(in_pos, 1.0);
+    v_normal = in_normal;
+}
+"""
+
+MESH_FRAG = """
+#version 330 core
+in vec3 v_normal;
+uniform vec3 u_color;
+layout(location = 0) out vec4 out_color;
+layout(location = 1) out vec4 out_bright;
+void main() {
+    vec3 n = normalize(v_normal);
+    vec3 light = normalize(vec3(0.4, 1.0, 0.3));
+    float diff = max(dot(n, light), 0.0) * 0.7 + 0.3;
+    out_color = vec4(u_color * diff, 1.0);
+    out_bright = vec4(0.0, 0.0, 0.0, 1.0);
+}
+"""
+
+
+class StaticMesh:
+    """Flat-shaded triangle-soup mesh (the marching-cubes surface display
+    mode — an upgrade over the reference, whose marching-cubes output only
+    ever went to a matplotlib PNG, voxel_reconstruction.py:127-163)."""
+
+    def __init__(self, color=(0.85, 0.75, 0.6)):
+        self.color = np.asarray(color, np.float32)
+        self.count = 0
+        self.capacity = 0
+        self.prog = compile_program(MESH_VERT, MESH_FRAG)
+        self.vao = gl.glGenVertexArrays(1)
+        self.vbo = gl.glGenBuffers(1)
+        gl.glBindVertexArray(self.vao)
+        gl.glBindBuffer(gl.GL_ARRAY_BUFFER, self.vbo)
+        gl.glEnableVertexAttribArray(0)
+        gl.glVertexAttribPointer(0, 3, gl.GL_FLOAT, False, 24, None)
+        gl.glEnableVertexAttribArray(1)
+        gl.glVertexAttribPointer(1, 3, gl.GL_FLOAT, False, 24,
+                                 ctypes.c_void_p(12))
+        gl.glBindVertexArray(0)
+
+    def set_triangles(self, tris: np.ndarray):
+        """tris (T, 3, 3) f32 in viewer coords; flat per-face normals."""
+        tris = np.ascontiguousarray(tris, np.float32)
+        if len(tris) == 0:
+            self.count = 0
+            return
+        n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        inter = np.empty((len(tris), 3, 6), np.float32)
+        inter[:, :, :3] = tris
+        inter[:, :, 3:] = n[:, None, :]
+        flat = inter.reshape(-1)
+        gl.glBindBuffer(gl.GL_ARRAY_BUFFER, self.vbo)
+        if flat.nbytes > self.capacity:
+            gl.glBufferData(gl.GL_ARRAY_BUFFER, flat.nbytes, flat,
+                            gl.GL_DYNAMIC_DRAW)
+            self.capacity = flat.nbytes
+        else:
+            gl.glBufferSubData(gl.GL_ARRAY_BUFFER, 0, flat.nbytes, flat)
+        self.count = len(tris) * 3
+
+    def draw(self, view_proj: np.ndarray):
+        if not self.count:
+            return
+        gl.glUseProgram(self.prog)
+        gl.glUniformMatrix4fv(
+            gl.glGetUniformLocation(self.prog, "u_view_proj"), 1, True,
+            view_proj.astype(np.float32),
+        )
+        gl.glUniform3fv(gl.glGetUniformLocation(self.prog, "u_color"), 1,
+                        self.color)
+        gl.glBindVertexArray(self.vao)
+        gl.glDrawArrays(gl.GL_TRIANGLES, 0, self.count)
+        gl.glBindVertexArray(0)
+
+
+LINE_VERT = """
+#version 330 core
+layout(location = 0) in vec3 in_pos;
+uniform mat4 u_view_proj;
+void main() { gl_Position = u_view_proj * vec4(in_pos, 1.0); }
+"""
+
+LINE_FRAG = """
+#version 330 core
+uniform vec3 u_color;
+layout(location = 0) out vec4 out_color;
+layout(location = 1) out vec4 out_bright;
+void main() {
+    out_color = vec4(u_color, 1.0);
+    out_bright = vec4(0.0, 0.0, 0.0, 1.0);
+}
+"""
+
+
+class Lines:
+    """GL_LINES renderable (camera frustum wireframes)."""
+
+    def __init__(self, color=(0.7, 0.7, 0.75)):
+        self.color = np.asarray(color, np.float32)
+        self.count = 0
+        self.prog = compile_program(LINE_VERT, LINE_FRAG)
+        self.vao = gl.glGenVertexArrays(1)
+        self.vbo = gl.glGenBuffers(1)
+        gl.glBindVertexArray(self.vao)
+        gl.glBindBuffer(gl.GL_ARRAY_BUFFER, self.vbo)
+        gl.glEnableVertexAttribArray(0)
+        gl.glVertexAttribPointer(0, 3, gl.GL_FLOAT, False, 12, None)
+        gl.glBindVertexArray(0)
+
+    def set_segments(self, segs: np.ndarray):
+        """segs (S, 2, 3) f32 viewer-coordinate line segments."""
+        flat = np.ascontiguousarray(segs, np.float32).reshape(-1)
+        gl.glBindBuffer(gl.GL_ARRAY_BUFFER, self.vbo)
+        gl.glBufferData(gl.GL_ARRAY_BUFFER, flat.nbytes, flat,
+                        gl.GL_DYNAMIC_DRAW)
+        self.count = len(flat) // 3
+
+    def draw(self, view_proj: np.ndarray):
+        if not self.count:
+            return
+        gl.glUseProgram(self.prog)
+        gl.glUniformMatrix4fv(
+            gl.glGetUniformLocation(self.prog, "u_view_proj"), 1, True,
+            view_proj.astype(np.float32),
+        )
+        gl.glUniform3fv(gl.glGetUniformLocation(self.prog, "u_color"), 1,
+                        self.color)
+        gl.glBindVertexArray(self.vao)
+        gl.glDrawArrays(gl.GL_LINES, 0, self.count)
+        gl.glBindVertexArray(0)
 
 
 class HDRPipeline:
