@@ -68,9 +68,58 @@ def cmd_calibrate(args):
     cams = [int(c) for c in args.cams.split(",")]
 
     if args.mode == "extrinsics":
-        # the reference's extrinsic step (camera_calibration.py:954-974):
-        # intrinsics are known; detect corners on one checkerboard frame
-        # and solve the planar pose
+        # Full-auto rig extrinsics (replaces the reference's manual corner
+        # session, camera_calibration.py:299-393,954-974): blob-lattice
+        # homography + differentiable photometric board alignment + cross-
+        # camera 180° hull voting.  `--no-auto` falls back to per-camera
+        # saddle detection (needs a detectable board and leaves the 180°
+        # ambiguity unresolved).
+        if getattr(args, "auto", True):
+            import dataclasses as _dc
+
+            import numpy as _np
+
+            from vbr_tpu.pipelines import auto_extrinsics as auto_ext
+            from vbr_tpu.pipelines import validation
+            from vbr_tpu.utils.config import CameraParams
+
+            rig = []
+            for cam in cams:
+                cam_dir = os.path.join(args.data, f"cam{cam}")
+                K, dist, _, _ = xmlio.load_camera_config(cam_dir)
+                d5 = _np.asarray(dist, _np.float64).reshape(-1)
+                rig.append(CameraParams(
+                    fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
+                    k1=d5[0], k2=d5[1], p1=d5[2], p2=d5[3], k3=d5[4],
+                ))
+            res = auto_ext.auto_extrinsics(
+                args.data, rig, square_mm=square, pattern=board,
+            )
+            obj = calibration.chessboard_object_points(board, square)
+            for cam, cp, mse, fl in zip(cams, res.cameras,
+                                        res.photometric_mse, res.flips):
+                K, dist = cp.K, cp.dist
+                rvec, tvec = cp.rvec, cp.tvec
+                out = os.path.join(args.out_dir, f"cam{cam}")
+                xmlio.save_camera_config(out, K, dist, rvec, tvec)
+                print(f"cam{cam}: auto pose (photometric MSE {mse:.0f}, "
+                      f"180° flip={fl}), wrote {out}/config.xml")
+                if getattr(args, "annotate", True):
+                    from vbr_tpu.ops import camera as _cam_ops
+                    from vbr_tpu.utils import video as _vio
+
+                    frame = _vio.get_frame(
+                        os.path.join(args.data, f"cam{cam}", args.video), 0
+                    )
+                    pts = _cam_ops.project_points(
+                        obj, rvec, tvec, K, dist, xp=_np
+                    )
+                    overlay = frame.copy()
+                    validation.draw_chessboard_corners(overlay, pts, board)
+                    cv2.imwrite(os.path.join(
+                        out, "checkerboard_imagepoints.jpg"), overlay)
+            print(f"orientation vote: {res.votes}")
+            return
         for cam in cams:
             cam_dir = os.path.join(args.data, f"cam{cam}")
             K, dist, _, _ = xmlio.load_camera_config(cam_dir)
@@ -421,6 +470,11 @@ def main(argv=None):
                    help="leave-one-out view discarding (reference "
                         "camera_calibration.py:522-563)")
     p.add_argument("--discard-threshold", type=float, default=0.15)
+    p.add_argument("--no-auto", dest="auto", action="store_false",
+                   default=True,
+                   help="extrinsics mode: disable the full-auto pipeline "
+                        "(blob lattice + photometric refinement + 180° "
+                        "voting) and use per-frame saddle detection")
     p.add_argument("--no-annotate", dest="annotate", action="store_false",
                    default=True,
                    help="skip corner-overlay audit artifacts "

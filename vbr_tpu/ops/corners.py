@@ -446,10 +446,11 @@ def _convex_hull(points: np.ndarray) -> np.ndarray:
     def half(iterable):
         out = []
         for p in iterable:
-            while (
-                len(out) >= 2
-                and np.cross(out[-1] - out[-2], p - out[-2]) <= 0
-            ):
+            while len(out) >= 2:
+                a = out[-1] - out[-2]
+                b = p - out[-2]
+                if a[0] * b[1] - a[1] * b[0] > 0:  # strict left turn: keep
+                    break
                 out.pop()
             out.append(p)
         return out
