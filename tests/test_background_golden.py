@@ -1,8 +1,8 @@
 """End-to-end background-subtraction parity on the real dataset (slow).
 
-Gates (measured: 0.9990 / 0.9919 on cam1):
-  * raw-mask IoU vs the actual cv::bgsegm C++ MOG (native oracle) ≥ 0.99
-  * cleaned-mask IoU vs the shipped golden mask_MOG.jpg ≥ 0.97
+Gates (measured: 1.0 / 1.0 on cam1 — bit-perfect since r2):
+  * raw-mask IoU vs the actual cv::bgsegm C++ MOG (native oracle) ≥ 0.999
+  * cleaned-mask vs the shipped golden mask_MOG.jpg: pixel-identical
 Run with: pytest -m slow tests/test_background_golden.py
 """
 
@@ -53,7 +53,8 @@ def test_cam1_mask_parity(data_dir):
         > 0
     )
     iou_clean = (golden & cleaned).sum() / max((golden | cleaned).sum(), 1)
-    assert iou_clean >= 0.97, f"cleaned-vs-golden IoU {iou_clean}"
+    # corner-counting hole areas (ops/ccl) make this pixel-exact
+    assert iou_clean == 1.0, f"cleaned-vs-golden IoU {iou_clean}"
 
 
 @pytest.mark.slow

@@ -19,9 +19,13 @@ TPU-friendly reformulation of the reference's ``cv2.findContours`` /
         with contour area ≥ inner_threshold are re-carved black,
       - smaller holes stay filled.
     ``cv2.contourArea`` is a polygon (Green's-formula) area over the
-    border-following contour, which differs from the pixel count by
-    ~perimeter/2; we compensate with a perimeter-based correction and
-    validate end-to-end against the shipped golden masks.
+    border-following contour, which differs from the pixel count.  We
+    reproduce it with a local 2×2 corner-counting identity
+    ``A = pix + (c1 + 2·c2 + c3 + 2·cdiag) / 4`` (cN = 2×2 blocks with N
+    bg pixels, cdiag = the diagonal-pair config) — exact for
+    simply-traced holes, validated against ``cv2.contourArea(c, True)``
+    on the rig masks and random blobs; with it the cleaned masks are
+    pixel-identical to the shipped goldens on all four cameras.
 """
 
 from __future__ import annotations
@@ -183,30 +187,39 @@ def clean_mask(
     ) > 0
     in_kept_hole = hole & hole_touch_kept[hole_idx]
 
-    # 4. Hole area in cv2.contourArea terms: the traced polygon rides on
-    #    the surrounding white ring, giving ≈ pixel_area + perimeter/2 + 1.
-    #    Use the bounding-perimeter estimate via a 4-neighborhood edge
-    #    count: perimeter ≈ #(hole px adjacent to non-hole).
+    # 4. Hole area in cv2.contourArea terms via 2×2 corner counting:
+    #    A = pix + c1/4 + c2/2 + c3/4 + cdiag/2, where cN counts 2×2
+    #    blocks with N hole pixels (cdiag = the diagonal-pair config).
+    #    Exact for simply-traced holes (validated against
+    #    cv2.contourArea(contour, True) on the rig masks + random blobs);
+    #    residual only for holes enclosing white islands / chain
+    #    self-touches, where it errs by the enclosed-island area.
     areas_b = component_areas(labels_b)
     hole_area_pix = areas_b[hole_idx]
-    up = jnp.pad(bg, ((1, 0), (0, 0)))[:-1]
-    down = jnp.pad(bg, ((0, 1), (0, 0)))[1:]
-    left = jnp.pad(bg, ((0, 0), (1, 0)))[:, :-1]
-    right = jnp.pad(bg, ((0, 0), (0, 1)))[:, 1:]
-    edge = (
-        (~up).astype(jnp.int32)
-        + (~down).astype(jnp.int32)
-        + (~left).astype(jnp.int32)
-        + (~right).astype(jnp.int32)
-    ).reshape(-1)
-    hole_perim = (
-        jnp.zeros((H * W,), jnp.int32).at[hole_idx].add(jnp.where(hole, edge, 0))
+    bg_img = bg.reshape(H, W)
+    lab_img = jnp.where(bg.reshape(-1), flat_b, 2**30).reshape(H, W)
+    hp = jnp.pad(bg_img, 1, constant_values=False)
+    lp = jnp.pad(lab_img, 1, constant_values=2**30)
+    ha, hb_, hc, hd = hp[:-1, :-1], hp[:-1, 1:], hp[1:, :-1], hp[1:, 1:]
+    la, lb_, lc, ld = lp[:-1, :-1], lp[:-1, 1:], lp[1:, :-1], lp[1:, 1:]
+    s = (ha.astype(jnp.int32) + hb_.astype(jnp.int32)
+         + hc.astype(jnp.int32) + hd.astype(jnp.int32))
+    diag = (ha & hd & ~hb_ & ~hc) | (hb_ & hc & ~ha & ~hd)
+    contrib = (
+        jnp.where(s == 1, 0.25, 0.0)
+        + jnp.where((s == 2) & ~diag, 0.5, 0.0)
+        + jnp.where(diag, 0.5, 0.0)
+        + jnp.where(s == 3, 0.25, 0.0)
+    ).astype(jnp.float32)
+    blabel = jnp.minimum(jnp.minimum(la, lb_), jnp.minimum(lc, ld))
+    bvalid = blabel < 2**30
+    corner_area = (
+        jnp.zeros((H * W,), jnp.float32)
+        .at[jnp.where(bvalid, blabel, 0).reshape(-1)]
+        .add(jnp.where(bvalid, contrib, 0.0).reshape(-1))
     )
-    # calibrated on axis-aligned rectangles: poly = pix + perim/2 − 1 exactly
     hole_poly_area = (
-        hole_area_pix.astype(jnp.float32)
-        + hole_perim[hole_idx].astype(jnp.float32) * 0.5
-        - 1.0
+        hole_area_pix.astype(jnp.float32) + corner_area[hole_idx]
     )
     carve = in_kept_hole & (hole_poly_area >= inner_threshold)
 
@@ -242,14 +255,29 @@ def clean_mask_host(
     border_labels = set(labels_b[0, :]) | set(labels_b[-1, :]) | \
         set(labels_b[:, 0]) | set(labels_b[:, -1])
 
-    # perimeter per bg component (4-neighbor transitions out of bg)
-    up = np.pad(bg, ((1, 0), (0, 0)))[:-1]
-    down = np.pad(bg, ((0, 1), (0, 0)))[1:]
-    left = np.pad(bg, ((0, 0), (1, 0)))[:, :-1]
-    right = np.pad(bg, ((0, 0), (0, 1)))[:, 1:]
-    edge = (4 - up - down - left - right) * bg
-    perim = np.bincount(labels_b.reshape(-1), weights=edge.reshape(-1),
-                        minlength=n_b)
+    # per-hole cv2.contourArea via 2×2 corner counting (see clean_mask):
+    # A = pix + c1/4 + c2/2 + c3/4 + cdiag/2 over blocks with N hole px
+    lab_pad = np.pad(np.where(bg > 0, labels_b, 0), 1)
+    la, lb_ = lab_pad[:-1, :-1], lab_pad[:-1, 1:]
+    lc, ld = lab_pad[1:, :-1], lab_pad[1:, 1:]
+    ha, hb_, hc, hd = la > 0, lb_ > 0, lc > 0, ld > 0
+    s = (ha.astype(np.int32) + hb_.astype(np.int32)
+         + hc.astype(np.int32) + hd.astype(np.int32))
+    diag = (ha & hd & ~hb_ & ~hc) | (hb_ & hc & ~ha & ~hd)
+    contrib = (
+        np.where(s == 1, 0.25, 0.0)
+        + np.where((s == 2) & ~diag, 0.5, 0.0)
+        + np.where(diag, 0.5, 0.0)
+        + np.where(s == 3, 0.25, 0.0)
+    )
+    big = np.iinfo(np.int32).max
+    blabel = np.minimum.reduce([
+        np.where(ha, la, big), np.where(hb_, lb_, big),
+        np.where(hc, lc, big), np.where(hd, ld, big),
+    ])
+    sel = blabel < big
+    corner = np.bincount(blabel[sel].ravel(), weights=contrib[sel].ravel(),
+                         minlength=n_b)
 
     kept_dil = cv2.dilate(kept_img.astype(np.uint8),
                           np.ones((3, 3), np.uint8)) > 0
@@ -261,7 +289,7 @@ def clean_mask_host(
         hole = labels_b == i
         if not (hole & kept_dil).any():
             continue
-        poly_area = stats_b[i, cv2.CC_STAT_AREA] + perim[i] * 0.5 - 1.0
+        poly_area = stats_b[i, cv2.CC_STAT_AREA] + corner[i]
         if poly_area >= inner_threshold:
             out[hole] = False  # re-carved hole
         else:
@@ -367,21 +395,6 @@ def clean_masks_batched(
         bmask = bmask.at[:, W:].set(True)
     bmask = bmask.reshape(-1)
 
-    # 4-neighbour fg-transition counts (hole polygon-perimeter estimate),
-    # computed on the unpadded geometry (holes never touch the padding)
-    bg2 = ~fg
-    up = jnp.pad(bg2, ((0, 0), (1, 0), (0, 0)))[:, :-1]
-    down = jnp.pad(bg2, ((0, 0), (0, 1), (0, 0)))[:, 1:]
-    left = jnp.pad(bg2, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
-    right = jnp.pad(bg2, ((0, 0), (0, 0), (0, 1)))[:, :, 1:]
-    edge = (
-        (~up).astype(jnp.int32) + (~down).astype(jnp.int32)
-        + (~left).astype(jnp.int32) + (~right).astype(jnp.int32)
-    )
-    edge = jnp.where(bg2, edge, 0)
-    edge_p = jnp.pad(edge, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    edge_flat = edge_p.reshape(C, Hp * Wp)
-
     outs = []
     overflows = []
     for c in range(C):
@@ -406,14 +419,37 @@ def clean_masks_batched(
         areas_b = jnp.sum(eq_b, axis=0)
         outside_b = jnp.any(eq_b & bmask[:, None], axis=0)
         hole_b = (roots_b >= 0) & ~outside_b
-        perim_b = jnp.sum(jnp.where(eq_b, edge_flat[c][:, None], 0), axis=0)
         touch_b = jnp.any(eq_b & kept_adj[:, None], axis=0)
         in_kept_hole = hole_b & touch_b
-        # cv2.contourArea of a hole ≈ pixel area + perimeter/2 − 1 (see
-        # clean_mask docstring; calibrated on rectangles, golden-verified)
+        # cv2.contourArea of a hole via 2×2 corner counting (see
+        # clean_mask): A = pix + (c1 + 2·c2 + c3 + 2·cdiag)/4; block
+        # contributions attributed to the min bg label in the block
+        # (identical convention to clean_mask / clean_mask_host), summed
+        # per root with a compare-reduce — still scatter-free.
+        bgc = bg_p[c]
+        labc = jnp.where(bgc.reshape(-1), Lb, BIG).reshape(Hp, Wp)
+        ha, hb_ = bgc[:-1, :-1], bgc[:-1, 1:]
+        hc_, hd = bgc[1:, :-1], bgc[1:, 1:]
+        la, lb2 = labc[:-1, :-1], labc[:-1, 1:]
+        lc2, ld = labc[1:, :-1], labc[1:, 1:]
+        s2 = (ha.astype(jnp.int32) + hb_.astype(jnp.int32)
+              + hc_.astype(jnp.int32) + hd.astype(jnp.int32))
+        diag2 = (ha & hd & ~hb_ & ~hc_) | (hb_ & hc_ & ~ha & ~hd)
+        contrib4 = (
+            jnp.where(s2 == 1, 1, 0)
+            + jnp.where((s2 == 2) & ~diag2, 2, 0)
+            + jnp.where(diag2, 2, 0)
+            + jnp.where(s2 == 3, 1, 0)
+        )
+        blmin = jnp.minimum(jnp.minimum(la, lb2), jnp.minimum(lc2, ld))
+        corner4_b = jnp.sum(
+            jnp.where(blmin.reshape(-1)[:, None] == roots_b[None, :],
+                      contrib4.reshape(-1)[:, None], 0),
+            axis=0,
+        )
         poly_area = (
             areas_b.astype(jnp.float32)
-            + perim_b.astype(jnp.float32) * 0.5 - 1.0
+            + corner4_b.astype(jnp.float32) * 0.25
         )
         fill_b = in_kept_hole & (poly_area < inner_thresholds[c])
         hole_white_px = jnp.any(eq_b & fill_b[None, :], axis=1)
