@@ -159,6 +159,22 @@ def main():
 
             ms_canon, _ = _marginal_ms(step_canonical, max(10, iters // 2))
             extra["canonical_layout_ms"] = round(ms_canon, 4)
+
+            # offline multi-frame throughput: N frames per kernel launch
+            # (one-hot matmuls shared across frames; colors host-side)
+            F = 32
+            masks_batch = jnp.broadcast_to(
+                masks_d[None], (F,) + masks_d.shape
+            )
+
+            def step_batched():
+                return (carve_pallas.carve_frames_blocked(
+                    masks_batch, btab,
+                    views_threshold=rig.views_threshold,
+                ),)
+
+            ms_batch, _ = _marginal_ms(step_batched, 6)
+            extra["offline_batched_ms_per_frame"] = round(ms_batch / F, 4)
         except Exception as e:  # Mosaic compile unavailable → XLA fallback
             err = f"{type(e).__name__}: {e}"
             print(f"# PALLAS KERNEL UNAVAILABLE ({err}); "

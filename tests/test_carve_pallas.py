@@ -82,3 +82,63 @@ class TestBlockedKernel:
         np.testing.assert_array_equal(
             planes[1, :, :486, : 644 - 64], planes[0, :, :486, 64:644]
         )
+
+
+class TestMultiFrameKernel:
+    """Multi-frame batched counts kernel (offline throughput path)."""
+
+    def test_occupancy_matches_tables_per_frame(
+        self, small_setup, golden_masks, first_frames
+    ):
+        import jax.numpy as jnp
+
+        grid, tables, btab = small_setup
+        # 3 distinct frames: golden masks, a shifted copy, and an eroded one
+        m0 = golden_masks
+        m1 = np.roll(golden_masks, 25, axis=2)
+        m2 = golden_masks.copy()
+        m2[:, ::3] = 0
+        masks_f = np.stack([m0, m1, m2])
+        imgs = np.stack([first_frames[1]] * 3)
+
+        occ = np.asarray(carve_pallas.carve_frames_blocked(
+            jnp.asarray(masks_f), btab,
+            views_threshold=4, frames_per_launch=2,  # exercises padding
+            interpret=True,
+        ))
+        total = 0
+        for f in range(3):
+            occ_t, col_t = carve.carve_from_tables(
+                jnp.asarray(masks_f[f]),
+                jnp.asarray(np.stack([first_frames[1]] * 4)),
+                tables.valid, tables.lin_idx,
+                views_threshold=4, color_camera=1,
+            )
+            occ_t = np.asarray(occ_t)
+            np.testing.assert_array_equal(occ[f], occ_t)
+            # host color gather at occupied voxels == table-path colors
+            idx, col = carve_pallas.frame_colors_host(
+                occ[f], imgs[f], np.asarray(tables.lin_idx), color_camera=1
+            )
+            np.testing.assert_array_equal(col, np.asarray(col_t)[idx])
+            total += occ_t.sum()
+        assert total > 0
+
+    def test_threshold_3_multiframe(self, small_setup, golden_masks,
+                                    first_frames):
+        import jax.numpy as jnp
+
+        grid, tables, btab = small_setup
+        masks_f = np.stack([golden_masks, golden_masks])
+        imgs = np.stack([first_frames[1]] * 2)
+        occ = carve_pallas.carve_frames_blocked(
+            jnp.asarray(masks_f), btab,
+            views_threshold=3, frames_per_launch=2, interpret=True,
+        )
+        occ_t, _ = carve.carve_from_tables(
+            jnp.asarray(golden_masks),
+            jnp.asarray(np.stack([first_frames[1]] * 4)),
+            tables.valid, tables.lin_idx, views_threshold=3, color_camera=1,
+        )
+        np.testing.assert_array_equal(np.asarray(occ[0]), np.asarray(occ_t))
+        np.testing.assert_array_equal(np.asarray(occ[1]), np.asarray(occ_t))
