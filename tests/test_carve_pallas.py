@@ -142,3 +142,24 @@ class TestMultiFrameKernel:
         )
         np.testing.assert_array_equal(np.asarray(occ[0]), np.asarray(occ_t))
         np.testing.assert_array_equal(np.asarray(occ[1]), np.asarray(occ_t))
+
+
+def test_accelerated_block_tables_exact(rig_cameras):
+    """accelerate=True block tables == pure-f64 block tables (32³)."""
+    import numpy as np
+
+    g = GridConfig(nx=32, ny=32, nz=32)
+    a = carve_pallas.build_block_tables(
+        rig_cameras, g, (486, 644), sub=(8, 8, 8), sup=(2, 2, 2),
+        accelerate=True,
+    )
+    b = carve_pallas.build_block_tables(
+        rig_cameras, g, (486, 644), sub=(8, 8, 8), sup=(2, 2, 2),
+        accelerate=False,
+    )
+    for name in ("lr", "aw", "bexp", "lcc", "vorig", "uorig"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=name,
+        )
+    assert (a.WH, a.WC, a.Hp, a.Wc) == (b.WH, b.WC, b.Hp, b.Wc)

@@ -170,6 +170,71 @@ def _build_tables_f64(cameras, grid, image_hw) -> ProjectionTables:
     )
 
 
+def exact_truncated_projections(
+    cp: CameraParams,
+    grid: GridConfig,
+    image_hw: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-voxel (iy, ix, valid) with the reference's f64 + int() trunc
+    semantics, computed via the accelerated f32-on-device + f64-recheck
+    scheme of :func:`build_projection_tables` (bit-identical; same eps /
+    principal-plane suspicion rules).  Host numpy outputs — used by table
+    builders that need row/col indices rather than linear ones (e.g. the
+    blocked Pallas tables, whose pure-f64 build is ~17 min at 512³)."""
+    H, W = image_hw
+    eps = 2e-3
+    z_eps = 8.0
+    xs, ys, zs = grid.axis_ranges()
+
+    @functools.partial(jax.jit, static_argnames=("hw",))
+    def _dev(jx, jy, jz, rvec, tvec, K, dist, hw):
+        h, w = hw
+        gx, gy, gz = jnp.meshgrid(jx, jy, jz, indexing="ij")
+        pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        uv = cam_ops.project_points(pts, rvec, tvec, K, dist, xp=jnp)
+        x, y = uv[:, 0], uv[:, 1]
+        fx = x - jnp.floor(x)
+        fy = y - jnp.floor(y)
+        R = cam_ops.rodrigues(rvec, xp=jnp)
+        depth = pts @ R[2, :] + tvec[2]
+        suspicious = (
+            (fx < eps) | (fx > 1 - eps) | (fy < eps) | (fy > 1 - eps)
+            | (jnp.abs(x) < eps) | (jnp.abs(x - w) < eps)
+            | (jnp.abs(y) < eps) | (jnp.abs(y - h) < eps)
+            | (jnp.abs(depth) < z_eps)
+        )
+        valid = (y >= 0) & (y < h) & (x >= 0) & (x < w)
+        iy = jnp.where(valid, jnp.trunc(y), 0).astype(jnp.int32)
+        ix = jnp.where(valid, jnp.trunc(x), 0).astype(jnp.int32)
+        return valid, iy, ix, suspicious
+
+    valid, iy, ix, suspicious = _dev(
+        jnp.asarray(xs.astype(np.float32)),
+        jnp.asarray(ys.astype(np.float32)),
+        jnp.asarray(zs.astype(np.float32)),
+        jnp.asarray(cp.rvec, jnp.float32),
+        jnp.asarray(cp.tvec, jnp.float32),
+        jnp.asarray(cp.K, jnp.float32),
+        jnp.asarray(cp.dist, jnp.float32),
+        (H, W),
+    )
+    valid = np.array(valid)  # writable host copies
+    iy = np.asarray(iy).astype(np.int64)
+    ix = np.asarray(ix).astype(np.int64)
+    sus_idx = np.flatnonzero(np.asarray(suspicious))
+    if len(sus_idx):
+        pts64 = grid.voxel_points()
+        uv_e = cam_ops.project_points(
+            pts64[sus_idx], cp.rvec, cp.tvec, cp.K, cp.dist, xp=np
+        )
+        x_e, y_e = uv_e[:, 0], uv_e[:, 1]
+        valid_e = (y_e >= 0) & (y_e < H) & (x_e >= 0) & (x_e < W)
+        valid[sus_idx] = valid_e
+        iy[sus_idx] = np.where(valid_e, np.trunc(y_e), 0).astype(np.int64)
+        ix[sus_idx] = np.where(valid_e, np.trunc(x_e), 0).astype(np.int64)
+    return iy, ix, valid
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("views_threshold", "color_camera", "packed_colors"),

@@ -117,8 +117,16 @@ def build_block_tables(
     sub: Tuple[int, int, int] = (8, 8, 8),
     sup: Tuple[int, int, int] = (2, 2, 4),
     color_camera: int = 1,
+    accelerate: bool = False,
 ) -> BlockTables:
-    """Host-side float64 precompute of all static kernel tables."""
+    """Host-side precompute of all static kernel tables.
+
+    ``accelerate`` switches the truncated projections to the
+    f32-on-device + f64-recheck scheme (bit-identical to pure f64 —
+    carve.exact_truncated_projections, tested).  It pays off on
+    co-located TPU hosts; over a narrow tunnel the 4×~170 MB index-plane
+    transfers make pure-f64 host math the faster default.  The build is
+    one-time per rig/grid (cacheable like the projection tables)."""
     H, W = image_hw
     C = len(cameras)
     for n, s, p in zip(grid.shape, sub, sup):
@@ -149,11 +157,19 @@ def build_block_tables(
 
     need_wh = 8
     for c, cp in enumerate(cameras):
-        uv = cam_ops.project_points(pts, cp.rvec, cp.tvec, cp.K, cp.dist, xp=np)
-        x, y = uv[:, 0], uv[:, 1]
-        valid = (y >= 0) & (y < H) & (x >= 0) & (x < W)
-        iy = np.where(valid, np.trunc(y), 0).astype(np.int64)
-        ix = np.where(valid, np.trunc(x), 0).astype(np.int64)
+        if accelerate:
+            from vbr_tpu.ops import carve as carve_mod
+
+            iy, ix, valid = carve_mod.exact_truncated_projections(
+                cp, grid, image_hw
+            )
+        else:
+            uv = cam_ops.project_points(pts, cp.rvec, cp.tvec, cp.K,
+                                        cp.dist, xp=np)
+            x, y = uv[:, 0], uv[:, 1]
+            valid = (y >= 0) & (y < H) & (x >= 0) & (x < W)
+            iy = np.where(valid, np.trunc(y), 0).astype(np.int64)
+            ix = np.where(valid, np.trunc(x), 0).astype(np.int64)
         iy_b, ix_b, valid_b = iy[perm], ix[perm], valid[perm]
         if c == color_camera:
             iy_color, ix_color, valid_color = iy_b, ix_b, valid_b
