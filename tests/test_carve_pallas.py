@@ -157,7 +157,7 @@ def test_accelerated_block_tables_exact(rig_cameras):
         rig_cameras, g, (486, 644), sub=(8, 8, 8), sup=(2, 2, 2),
         accelerate=False,
     )
-    for name in ("lr", "aw", "bexp", "lcc", "vorig", "uorig"):
+    for name in ("pk", "lcc", "vorig", "uorig"):
         np.testing.assert_array_equal(
             np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
             err_msg=name,

@@ -217,7 +217,7 @@ class VisualHull:
         if carve_kernel == "pallas":
             occ, col, ovf = _full_step_pallas(
                 self._stacked_bg, frames_d,
-                self._btab.lr, self._btab.aw, self._btab.bexp,
+                self._btab.pk,
                 self._btab.lcc, self._btab.vorig, self._btab.uorig,
                 self._btab.cell_mat,
                 btab_static=_btab_static(self._btab),
@@ -271,7 +271,7 @@ class VisualHull:
             frames_d = jnp.asarray(frames)
             occ, col, ovf = _full_step_pallas(
                 self._stacked_bg, frames_d,
-                self._btab.lr, self._btab.aw, self._btab.bexp,
+                self._btab.pk,
                 self._btab.lcc, self._btab.vorig, self._btab.uorig,
                 self._btab.cell_mat,
                 btab_static=_btab_static(self._btab),
@@ -325,7 +325,7 @@ class VisualHull:
         def dispatch(frames):
             wire = _full_step_pallas(
                 self._stacked_bg, jnp.asarray(frames),
-                self._btab.lr, self._btab.aw, self._btab.bexp,
+                self._btab.pk,
                 self._btab.lcc, self._btab.vorig, self._btab.uorig,
                 self._btab.cell_mat,
                 btab_static=_btab_static(self._btab),
@@ -453,11 +453,9 @@ def _finalize_and_carve(
 
 
 def _btab_static(t):
-    return (
-        t.num_cameras, t.nsuper, t.nsub, t.WH, t.WC, t.n_words,
-        t.color_camera, t.sub_shape, t.sup_shape, t.nblocks, t.Hp, t.Wc,
-        t.n_cells_hw[0], t.n_cells_hw[1],
-    )
+    from vbr_tpu.ops import carve_pallas
+
+    return carve_pallas.tables_static_tuple(t)
 
 
 @functools.partial(
@@ -468,7 +466,7 @@ def _btab_static(t):
     ),
 )
 def _full_step_pallas(
-    stacked_bg, frames, lr, aw, bexp, lcc, vorig, uorig, cell_mat, *,
+    stacked_bg, frames, pk, lcc, vorig, uorig, cell_mat, *,
     btab_static, mask_params, mog_params, fig_thresholds, inner_thresholds,
     views_threshold, layout,
 ):
@@ -489,7 +487,7 @@ def _full_step_pallas(
     )
     color_camera = btab_static[6]
     occ, col = carve_pallas._carve_blocked_device.__wrapped__(
-        masks, frames[color_camera], lr, aw, bexp, lcc, vorig, uorig,
+        masks, frames[color_camera], pk, lcc, vorig, uorig,
         cell_mat, tables_static=btab_static,
         views_threshold=views_threshold,
         layout="blocked" if layout == "packed" else layout,

@@ -78,9 +78,14 @@ class BlockTables:
     color_camera: int
 
     # device arrays
-    lr: jnp.ndarray  # (nsuper, nsub, C, BV) i32 absolute row, -1 invalid
-    aw: jnp.ndarray  # (nsuper, nsub, C, BV) i32 absolute word index
-    bexp: jnp.ndarray  # (nsuper, nsub, C, BV) i32 bit within word
+    # Packed per-voxel geometry, one i32 per (voxel, camera):
+    #   bits 10..19 = absolute image row (1023 = invalid sentinel — never
+    #                 matched, since row windows end below 648),
+    #   bits 3..9   = word index (column // 8),
+    #   bits 0..2   = bit within the word.
+    # One packed word instead of three i32 planes: 3× less HBM + VMEM
+    # traffic per sub-block, and the only cost is three VPU shift/ands.
+    pk: jnp.ndarray  # (nsuper, nsub, C, BV) i32
     lcc: jnp.ndarray  # (nsuper, nsub, BV) i32 absolute color col, -1 invalid
     vorig: jnp.ndarray  # (nsuper, nsub, C) i32 8-aligned row-window origin
     uorig: jnp.ndarray  # (nsuper, nsub, 1) i32 128-aligned color col origin
@@ -91,6 +96,7 @@ class BlockTables:
     # threshold, so the kernel skips it (exact for occupancy).
     cell_mat: jnp.ndarray  # (C, nsuper*nsub, n_cells_padded) bf16
     n_cells_hw: Tuple[int, int]  # cell grid (hc, wc)
+    cell: int = CELL  # activity-cell pixel size (coarser for huge grids)
     # host-side: canonical voxel index of each (superblock, sub, voxel) slot
     perm: np.ndarray = dataclasses.field(
         default=None, compare=False, hash=False
@@ -118,6 +124,7 @@ def build_block_tables(
     sup: Tuple[int, int, int] = (2, 2, 4),
     color_camera: int = 1,
     accelerate: bool = False,
+    cell: int = CELL,
 ) -> BlockTables:
     """Host-side precompute of all static kernel tables.
 
@@ -135,25 +142,27 @@ def build_block_tables(
     if sub[0] * sub[1] * sub[2] != BV:
         raise ValueError("sub-block must contain exactly 512 voxels")
 
+    if W // WORD_BITS >= 128:
+        raise ValueError("word index must fit 7 bits (image width < 1024)")
+
     perm, nblocks = _blocked_permutation(grid.shape, sub, sup)
     nsuper, nsub, _ = perm.shape
-    pts = grid.voxel_points()  # canonical order, float64
+    pts = None  # lazily built (f64 path only)
 
     n_words = _ceil_to(W, WORD_BITS) // WORD_BITS
 
-    lr = np.full((nsuper, nsub, C, BV), -1, dtype=np.int32)
-    aw = np.zeros((nsuper, nsub, C, BV), dtype=np.int32)
-    bexp = np.zeros((nsuper, nsub, C, BV), dtype=np.int32)
+    pk = np.zeros((nsuper, nsub, C, BV), dtype=np.int32)
     vorig = np.zeros((nsuper, nsub, C), dtype=np.int32)
     iy_color = None
     ix_color = None
     valid_color = None
 
-    hc = -(-H // CELL)
-    wc = -(-W // CELL)
+    hc = -(-H // cell)
+    wc = -(-W // cell)
     n_cells = hc * wc
     n_cells_p = _ceil_to(n_cells, LANE)
-    cell_mat = np.zeros((C, nsuper * nsub, hc, wc), dtype=np.float32)
+    nblk = nsuper * nsub
+    cell_mat = np.zeros((C, nblk, hc, wc), dtype=np.int8)
 
     need_wh = 8
     for c, cp in enumerate(cameras):
@@ -164,18 +173,26 @@ def build_block_tables(
                 cp, grid, image_hw
             )
         else:
+            if pts is None:
+                pts = grid.voxel_points()  # canonical order, float64
             uv = cam_ops.project_points(pts, cp.rvec, cp.tvec, cp.K,
                                         cp.dist, xp=np)
             x, y = uv[:, 0], uv[:, 1]
             valid = (y >= 0) & (y < H) & (x >= 0) & (x < W)
-            iy = np.where(valid, np.trunc(y), 0).astype(np.int64)
-            ix = np.where(valid, np.trunc(x), 0).astype(np.int64)
-        iy_b, ix_b, valid_b = iy[perm], ix[perm], valid[perm]
+            iy = np.where(valid, np.trunc(y), 0).astype(np.int32)
+            ix = np.where(valid, np.trunc(x), 0).astype(np.int32)
+        iy_b = iy.astype(np.int32)[perm]
+        ix_b = ix.astype(np.int32)[perm]
+        valid_b = valid[perm]
         if c == color_camera:
             iy_color, ix_color, valid_color = iy_b, ix_b, valid_b
-        lr[:, :, c, :] = np.where(valid_b, iy_b, -1).astype(np.int32)
-        aw[:, :, c, :] = np.where(valid_b, ix_b // WORD_BITS, 0).astype(np.int32)
-        bexp[:, :, c, :] = np.where(valid_b, ix_b % WORD_BITS, 0).astype(np.int32)
+        # packed geometry word (row sentinel 1023 never matches a window)
+        row_f = np.where(valid_b, iy_b, 1023)
+        pk[:, :, c, :] = (
+            (row_f << 10)
+            | ((ix_b // WORD_BITS) << 3)
+            | (ix_b % WORD_BITS)
+        ).astype(np.int32)
 
         any_v = valid_b.any(axis=2)
         ymin = np.where(any_v, np.where(valid_b, iy_b, 10**6).min(axis=2), 0)
@@ -184,15 +201,22 @@ def build_block_tables(
         need_wh = max(need_wh, int((ymax - v0).max()) + 1)
         vorig[:, :, c] = v0
 
-        # footprint-bbox → cell membership rows for the activity test
+        # footprint-bbox → cell membership rows for the activity test,
+        # vectorized via a 2-D difference image + double cumsum (the
+        # per-block python rectangle fill is minutes at 512³)
         xmin_c = np.where(any_v, np.where(valid_b, ix_b, 10**6).min(axis=2), 0)
         xmax_c = np.where(any_v, np.where(valid_b, ix_b, -1).max(axis=2), 0)
-        mat_c = cell_mat[c]
-        y0f, y1f = (ymin // CELL).ravel(), (ymax // CELL).ravel()
-        x0f, x1f = (xmin_c // CELL).ravel(), (xmax_c // CELL).ravel()
-        anyf = any_v.ravel()
-        for b in np.flatnonzero(anyf):
-            mat_c[b, y0f[b] : y1f[b] + 1, x0f[b] : x1f[b] + 1] = 1.0
+        y0f, y1f = (ymin // cell).ravel(), (ymax // cell).ravel()
+        x0f, x1f = (xmin_c // cell).ravel(), (xmax_c // cell).ravel()
+        bidx = np.flatnonzero(any_v.ravel())
+        diff = np.zeros((nblk, hc + 1, wc + 1), np.int8)
+        np.add.at(diff, (bidx, y0f[bidx], x0f[bidx]), 1)
+        np.add.at(diff, (bidx, y1f[bidx] + 1, x0f[bidx]), -1)
+        np.add.at(diff, (bidx, y0f[bidx], x1f[bidx] + 1), -1)
+        np.add.at(diff, (bidx, y1f[bidx] + 1, x1f[bidx] + 1), 1)
+        filled = np.cumsum(np.cumsum(diff, axis=1, dtype=np.int8),
+                           axis=2, dtype=np.int8)
+        cell_mat[c] = filled[:, :hc, :wc]
 
     WH = _ceil_to(need_wh, 8)
     Hp = _ceil_to(H, 8) + WH  # guarantees v0 + WH <= Hp for any v0 <= H-1
@@ -229,14 +253,13 @@ def build_block_tables(
         WH=WH,
         WC=WC,
         color_camera=color_camera,
-        lr=jnp.asarray(lr),
-        aw=jnp.asarray(aw),
-        bexp=jnp.asarray(bexp),
+        pk=jnp.asarray(pk),
         lcc=jnp.asarray(lcc),
         vorig=jnp.asarray(vorig),
         uorig=jnp.asarray(uorig),
         cell_mat=jnp.asarray(cell_flat, dtype=jnp.bfloat16),
         n_cells_hw=(hc, wc),
+        cell=cell,
         perm=perm,
     )
 
@@ -281,9 +304,7 @@ def pack_image(image: jnp.ndarray, *, Hp: int, Wc: int) -> jnp.ndarray:
 
 def _make_kernel(C, nsub, WH, WC, n_words, color_camera, views_threshold):
     def kernel(
-        lr_ref,  # (1, nsub, C, BV) i32
-        aw_ref,
-        bexp_ref,
+        pk_ref,  # (1, nsub, C, BV) i32 packed row/word/bit (see BlockTables)
         lcc_ref,  # (1, nsub, BV) i32
         vorig_ref,  # (1, nsub, C) i32
         uorig_ref,  # (1, nsub, 1) i32 (64-aligned color column origin)
@@ -315,8 +336,9 @@ def _make_kernel(C, nsub, WH, WC, n_words, color_camera, views_threshold):
                 for c in range(C):
                     v0 = vorig_ref[0, s, c]
                     win = mask_ref[c, pl.ds(pl.multiple_of(v0, 8), WH), :]
-                    lr = lr_ref[0, s, c, :][:, None]
-                    b = bexp_ref[0, s, c, :][:, None]
+                    pkv = pk_ref[0, s, c, :][:, None]
+                    lr = pkv >> 10  # 1023 sentinel never matches a window
+                    b = pkv & 7
                     # One-hot carrying 2^-b (exact powers of two in bf16):
                     # sel[v, w] = word[v0-window row lr[v], w] · 2^-b[v]
                     scale = pltpu.bitcast(
@@ -331,7 +353,7 @@ def _make_kernel(C, nsub, WH, WC, n_words, color_camera, views_threshold):
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (BV, n_words) — exact: bf16 words ≤ 255, 2^-b exact
-                    awv = aw_ref[0, s, c, :][:, None]
+                    awv = (pkv >> 3) & 127
                     shifted = jnp.floor(
                         row_dot(sel, (awv == iota_w).astype(jnp.float32))
                     )
@@ -356,7 +378,7 @@ def _make_kernel(C, nsub, WH, WC, n_words, color_camera, views_threshold):
                 u0c = uorig_ref[0, s, 0]
                 copy_idx = jax.lax.rem(u0c // 64, 2)  # 0: aligned, 1: shifted
                 panel = (u0c // LANE) * LANE
-                lrc = lr_ref[0, s, color_camera, :][:, None]
+                lrc = pk_ref[0, s, color_camera, :][:, None] >> 10
                 ohc = (lrc == iota_h + v0c).astype(jnp.bfloat16)
                 relc = lcc_ref[0, s, :][:, None] - u0c
                 oh_col = (relc == iota_c).astype(jnp.float32)
@@ -404,7 +426,7 @@ def _blocked_to_canonical(x_blocked, sub, sup, nblocks):
     return x.transpose(inv).reshape((n,) + trailing)
 
 
-def _block_activity(masks, cell_mat, hc, wc, views_threshold):
+def _block_activity(masks, cell_mat, hc, wc, views_threshold, cell=CELL):
     """(C, H, W) u8 masks → (nsuper*nsub,) i32 sub-block activity flags.
 
     Conservative & exact: flag 0 only when fewer than views_threshold
@@ -413,10 +435,10 @@ def _block_activity(masks, cell_mat, hc, wc, views_threshold):
     """
     C, H, W = masks.shape
     fg = (masks > 0).astype(jnp.bfloat16)
-    fg = jnp.pad(fg, ((0, 0), (0, hc * CELL - H), (0, wc * CELL - W)))
+    fg = jnp.pad(fg, ((0, 0), (0, hc * cell - H), (0, wc * cell - W)))
     cells = jax.lax.reduce_window(
         fg, jnp.bfloat16(0), jax.lax.max,
-        (1, CELL, CELL), (1, CELL, CELL), "VALID",
+        (1, cell, cell), (1, cell, cell), "VALID",
     ).reshape(C, hc * wc)
     cells = jnp.pad(cells, ((0, 0), (0, cell_mat.shape[2] - hc * wc)))
     counts = jnp.einsum(
@@ -433,9 +455,7 @@ def _block_activity(masks, cell_mat, hc, wc, views_threshold):
 def _carve_blocked_device(
     masks,
     image,
-    lr,
-    aw,
-    bexp,
+    pk,
     lcc,
     vorig,
     uorig,
@@ -447,10 +467,10 @@ def _carve_blocked_device(
     layout: str = "canonical",
 ):
     (C, nsuper, nsub, WH, WC, n_words, color_camera, sub, sup, nblocks,
-     Hp, Wc, hc, wc) = tables_static
+     Hp, Wc, hc, wc, cell) = tables_static
     packed_masks = pack_masks(masks, Hp=Hp, n_words=n_words)
     packed_img = pack_image(image, Hp=Hp, Wc=Wc)
-    active = _block_activity(masks, cell_mat, hc, wc, views_threshold)
+    active = _block_activity(masks, cell_mat, hc, wc, views_threshold, cell)
     active = active.reshape(nsuper, nsub, 1)
     kernel = _make_kernel(C, nsub, WH, WC, n_words, color_camera,
                           views_threshold)
@@ -459,10 +479,6 @@ def _carve_blocked_device(
         kernel,
         grid=(nsuper,),
         in_specs=[
-            pl.BlockSpec((1, nsub, C, BV), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nsub, C, BV), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nsub, C, BV), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nsub, BV), lambda i: (i, 0, 0),
@@ -487,7 +503,7 @@ def _carve_blocked_device(
             jax.ShapeDtypeStruct((nsuper, nsub, 3, BV), jnp.float32),
         ],
         interpret=interpret,
-    )(lr, aw, bexp, lcc, vorig, uorig, active, packed_masks, packed_img)
+    )(pk, lcc, vorig, uorig, active, packed_masks, packed_img)
 
     # inactive sub-blocks were never written: mask their garbage to zero,
     # threshold, and narrow to u8 *before* the blocked→canonical transpose
@@ -530,36 +546,28 @@ def carve_blocked(
     (the reference only ever reads colors of occupied voxels,
     assignment.py:127-133).
     """
-    static = (
-        tables.num_cameras,
-        tables.nsuper,
-        tables.nsub,
-        tables.WH,
-        tables.WC,
-        tables.n_words,
-        tables.color_camera,
-        tables.sub_shape,
-        tables.sup_shape,
-        tables.nblocks,
-        tables.Hp,
-        tables.Wc,
-        tables.n_cells_hw[0],
-        tables.n_cells_hw[1],
-    )
     return _carve_blocked_device(
         masks,
         image,
-        tables.lr,
-        tables.aw,
-        tables.bexp,
+        tables.pk,
         tables.lcc,
         tables.vorig,
         tables.uorig,
         tables.cell_mat,
-        tables_static=static,
+        tables_static=tables_static_tuple(tables),
         views_threshold=views_threshold,
         interpret=interpret,
         layout=layout,
+    )
+
+
+def tables_static_tuple(tables: BlockTables):
+    """Hashable static geometry for the jitted device wrappers."""
+    return (
+        tables.num_cameras, tables.nsuper, tables.nsub, tables.WH,
+        tables.WC, tables.n_words, tables.color_camera, tables.sub_shape,
+        tables.sup_shape, tables.nblocks, tables.Hp, tables.Wc,
+        tables.n_cells_hw[0], tables.n_cells_hw[1], tables.cell,
     )
 
 
@@ -743,9 +751,7 @@ def _make_counts_kernel(C, nsub, WH, NF, n_words, views_threshold):
     NW = NF * n_words
 
     def kernel(
-        lr_ref,  # (1, nsub, C, BV) i32
-        aw_ref,
-        bexp_ref,
+        pk_ref,  # (1, nsub, C, BV) i32 packed row/word/bit
         vorig_ref,  # (1, nsub, C) i32 SMEM
         active_ref,  # (1, nsub, 1) i32 SMEM
         mask_ref,  # (C, Hp, NW) bf16 — VMEM resident
@@ -766,8 +772,9 @@ def _make_counts_kernel(C, nsub, WH, NF, n_words, views_threshold):
                 for c in range(C):
                     v0 = vorig_ref[0, s, c]
                     win = mask_ref[c, pl.ds(pl.multiple_of(v0, 8), WH), :]
-                    lr = lr_ref[0, s, c, :][:, None]
-                    b = bexp_ref[0, s, c, :][:, None]
+                    pkv = pk_ref[0, s, c, :][:, None]
+                    lr = pkv >> 10
+                    b = pkv & 7
                     scale = pltpu.bitcast(
                         ((127 - b) << 23).astype(jnp.int32), jnp.float32
                     ).astype(jnp.bfloat16)
@@ -776,7 +783,7 @@ def _make_counts_kernel(C, nsub, WH, NF, n_words, views_threshold):
                         oh, win, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (BV, NW) — word·2⁻ᵇ of each frame's word column
-                    awv = aw_ref[0, s, c, :][:, None]
+                    awv = (pkv >> 3) & 127
                     R = sel * (awv == wmod).astype(jnp.float32)
                     shifted = jnp.floor(jax.lax.dot_general(
                         R, bd, (((1,), (0,)), ((), ())),
@@ -806,20 +813,20 @@ def _make_counts_kernel(C, nsub, WH, NF, n_words, views_threshold):
 )
 def _carve_frames_device(
     masks,  # (NF, C, H, W) u8
-    lr, aw, bexp, vorig, cell_mat,
+    pk, vorig, cell_mat,
     *,
     tables_static,
     views_threshold: int,
     interpret: bool = False,
 ):
     (C, nsuper, nsub, WH, WC, n_words, color_camera, sub, sup, nblocks,
-     Hp, Wc, hc, wc) = tables_static
+     Hp, Wc, hc, wc, cell) = tables_static
     NF = masks.shape[0]
     packed = pack_masks_frames(masks, Hp=Hp, n_words=n_words)
     # conservative union activity: a block is active if the per-frame
     # union of foreground could reach the view threshold in its footprint
     union = jnp.max(masks, axis=0)
-    active = _block_activity(union, cell_mat, hc, wc, views_threshold)
+    active = _block_activity(union, cell_mat, hc, wc, views_threshold, cell)
     active = active.reshape(nsuper, nsub, 1)
     kernel = _make_counts_kernel(C, nsub, WH, NF, n_words, views_threshold)
 
@@ -827,10 +834,6 @@ def _carve_frames_device(
         kernel,
         grid=(nsuper,),
         in_specs=[
-            pl.BlockSpec((1, nsub, C, BV), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nsub, C, BV), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nsub, C, BV), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nsub, C), lambda i: (i, 0, 0),
@@ -847,7 +850,7 @@ def _carve_frames_device(
             jax.ShapeDtypeStruct((nsuper, nsub, BV, NF), jnp.int32),
         ],
         interpret=interpret,
-    )(lr, aw, bexp, vorig, active, packed)
+    )(pk, vorig, active, packed)
 
     occ_b = ((active[..., None] > 0)
              & (count_b >= views_threshold)).astype(jnp.uint8)
@@ -904,12 +907,7 @@ def carve_frames_blocked(
     """
     F = masks.shape[0]
     NF = frames_per_launch
-    static = (
-        tables.num_cameras, tables.nsuper, tables.nsub, tables.WH,
-        tables.WC, tables.n_words, tables.color_camera, tables.sub_shape,
-        tables.sup_shape, tables.nblocks, tables.Hp, tables.Wc,
-        tables.n_cells_hw[0], tables.n_cells_hw[1],
-    )
+    static = tables_static_tuple(tables)
     pad = (-F) % NF
     if pad:
         masks = jnp.concatenate(
@@ -919,8 +917,7 @@ def carve_frames_blocked(
     for start in range(0, F + pad, NF):
         occ_chunks.append(_carve_frames_device(
             masks[start : start + NF],
-            tables.lr, tables.aw, tables.bexp, tables.vorig,
-            tables.cell_mat,
+            tables.pk, tables.vorig, tables.cell_mat,
             tables_static=static,
             views_threshold=views_threshold,
             interpret=interpret,
