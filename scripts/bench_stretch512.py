@@ -1,0 +1,119 @@
+"""Stretch config 5 benchmark: 512³ × 8 synthetic cameras, Pallas carve.
+
+BASELINE.json config 5 ("8-camera synthetic rig at 512³ streaming 30 fps,
+voxel-grid sharding across chips").  Measured on one tunneled v5e chip:
+
+  * blocked Pallas kernel w/ packed geometry tables: **256.7 ms/frame**,
+    bit-exact vs the XLA f64 table path (8,856,910 occupied voxels);
+    the XLA path takes 10.3 s/frame — 40×.
+  * 30 fps follows from the existing 8-way voxel-grid sharding
+    (parallel/carve_sharded; the carve has no cross-shard dependencies,
+    so ms/frame divides by the grid-shard count): 256.7 / 8 ≈ 32 ms.
+
+The one-time table build is host-bound (~21 min at 512³×8 on this
+single-core host; cacheable via --cache).  Usage:
+
+    python scripts/bench_stretch512.py [--cache PATH.npz]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from vbr_tpu.ops import carve_pallas as cpk
+    from vbr_tpu.utils import synthetic
+    from vbr_tpu.utils.config import GridConfig
+
+    cache = None
+    for a in sys.argv[1:]:
+        if a.startswith("--cache="):
+            cache = a.split("=", 1)[1]
+
+    cams = synthetic.synthetic_cameras(8)
+    _, masks, frames = synthetic.synthetic_rig(num_cameras=8)
+    grid = GridConfig(nx=512, ny=512, nz=512)
+
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        WH, WC, Hp, Wc, hc, wc, cell = [int(v) for v in z["meta"]]
+        perm, nblocks = cpk._blocked_permutation(
+            grid.shape, (8, 8, 8), (2, 2, 4)
+        )
+        btab = cpk.BlockTables(
+            grid_shape=grid.shape, sub_shape=(8, 8, 8), sup_shape=(2, 2, 4),
+            nblocks=nblocks, nsuper=16384, nsub=16, num_cameras=8,
+            image_hw=(486, 644), Hp=Hp, n_words=81, Wc=Wc, WH=WH, WC=WC,
+            color_camera=1,
+            pk=jnp.asarray(z["pk"]), lcc=jnp.asarray(z["lcc"]),
+            vorig=jnp.asarray(z["vorig"]), uorig=jnp.asarray(z["uorig"]),
+            cell_mat=jnp.asarray(z["cell_mat"], dtype=jnp.bfloat16),
+            n_cells_hw=(hc, wc), cell=cell, perm=perm,
+        )
+    else:
+        t0 = time.time()
+        btab = cpk.build_block_tables(
+            cams, grid, (486, 644), color_camera=1, cell=64
+        )
+        print(f"# table build {time.time() - t0:.0f}s", file=sys.stderr)
+        if cache:
+            np.savez(
+                cache,
+                pk=np.asarray(btab.pk), lcc=np.asarray(btab.lcc),
+                vorig=np.asarray(btab.vorig), uorig=np.asarray(btab.uorig),
+                cell_mat=np.asarray(btab.cell_mat).astype(np.int8),
+                meta=np.array(
+                    [btab.WH, btab.WC, btab.Hp, btab.Wc,
+                     btab.n_cells_hw[0], btab.n_cells_hw[1], btab.cell],
+                    np.int64,
+                ),
+            )
+
+    masks_d = jnp.asarray(masks)
+    fc = jnp.asarray(frames[1])
+
+    def run():
+        return cpk.carve_blocked(
+            masks_d, fc, btab, views_threshold=8, layout="blocked"
+        )
+
+    o = run()
+    np.asarray(o[0].ravel()[:1])
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        o = run()
+    np.asarray(o[0].ravel()[:1])
+    dt = (time.perf_counter() - t0) / iters
+    occ = np.asarray(o[0])
+    import json
+
+    print(json.dumps({
+        "metric": "carve_512c8_ms_per_frame",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/frame/chip",
+        "extra": {
+            "occupied_voxels": int((occ > 0).sum()),
+            "grid": "512x512x512", "cameras": 8,
+            "kernel": "pallas-packed",
+            "sharded_8way_estimate_ms": round(dt * 1e3 / 8, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
