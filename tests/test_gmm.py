@@ -166,3 +166,56 @@ class TestOracleProbes:
         assert (
             np.asarray(gmm.extract_mask(st, probe, p)) == orc.apply(probe, 0.0)
         ).all()
+
+
+class TestPallasTrainingKernel:
+    """Fused Pallas training kernel == XLA scan, bitwise (interpret)."""
+
+    def test_bitwise_equal_to_xla_scan(self):
+        import jax.numpy as jnp
+
+        from vbr_tpu.utils.config import MOGParams
+
+        rng = np.random.default_rng(7)
+        H, W, T = 16, 48, 11
+        frames = rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8)
+        p = MOGParams(history=T, use_hsv=False, n_mixtures=50)
+
+        st_x = gmm.init_train_state((H, W), p)
+        st_x, _ = gmm._train_chunk(st_x, jnp.asarray(frames), p, False)
+        st_p = gmm.init_train_state((H, W), p)
+        st_p = gmm._train_chunk_pallas(
+            st_p, jnp.asarray(frames), p, interpret=True
+        )
+        for name in ("weight", "sort_key", "mean", "var"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_x, name)),
+                np.asarray(getattr(st_p, name)),
+                err_msg=name,
+            )
+        assert int(st_p.nframes) == T
+
+    def test_chunked_pallas_path_matches(self):
+        """train_mog(backend='pallas') across chunk boundaries == xla."""
+        from vbr_tpu.utils.config import MOGParams
+
+        rng = np.random.default_rng(8)
+        frames = rng.integers(0, 256, (21, 8, 32, 3), dtype=np.uint8)
+        p = MOGParams(history=21, use_hsv=False, n_mixtures=10)
+        import unittest.mock as mock
+
+        # interpret-mode pallas on CPU
+        orig = gmm._train_chunk_pallas
+
+        def interp(state, part, params):
+            return orig(state, part, params, interpret=True)
+
+        with mock.patch.object(gmm, "_train_chunk_pallas", interp):
+            st_p = gmm.train_mog(frames, p, chunk=8, backend="pallas")
+        st_x = gmm.train_mog(frames, p, chunk=8, backend="xla")
+        for name in ("weight", "mean", "var"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_x, name)),
+                np.asarray(getattr(st_p, name)),
+                err_msg=name,
+            )
