@@ -30,6 +30,7 @@ def _marginal_ms(step, iters, pairs=3):
     the fixed dispatch/sync overhead of the tunnel.  Median over several
     pairs; falls back to the (overhead-inclusive) mean if the difference
     is noise-dominated (never reports a negative or clamped value)."""
+    iters = max(2, iters)  # the marginal needs two batch sizes
     half = max(1, iters // 2)
 
     def run(k):

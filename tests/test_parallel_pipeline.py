@@ -114,3 +114,67 @@ def test_sharded_marching_cubes_256(rig_cameras):
     tris_r, n_r = mc.extract_mesh(vol)
     assert n_s == n_r
     np.testing.assert_array_equal(tris_s, tris_r)
+
+
+def test_sharded_step_occupancy_equals_single_device(rig_cameras):
+    """The sharded pipeline step's masks use the REAL apply_frozen —
+    occupancy must equal a single-device replication exactly."""
+    import jax.numpy as jnp
+
+    from vbr_tpu.utils.config import MOGParams
+
+    grid = GridConfig(nx=16, ny=16, nz=16)
+    tables = carve.build_projection_tables(rig_cameras, grid, (486, 644))
+    mesh = carve_sharded.make_carve_mesh(8, num_cameras=4, frame_batch=2)
+
+    H, W, K = 486, 644, 4
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, (4, H, W, 3)).astype(np.float32)
+    weight = np.zeros((4, H, W, K), np.float32)
+    weight[..., 0] = 0.7
+    weight[..., 1] = 0.3
+    mean = rng.uniform(0, 255, (4, H, W, K, 3)).astype(np.float32)
+    mean[..., 0, :] = base
+    var = rng.uniform(100, 700, (4, H, W, K)).astype(np.float32)
+    frames_b = np.stack(
+        [base.astype(np.uint8), np.roll(base.astype(np.uint8), 60, axis=2)]
+    )
+
+    p = MOGParams(use_hsv=False, n_mixtures=K)
+    step = pipeline_sharded.sharded_pipeline_step(
+        mesh, views_threshold=4, mog_params=p
+    )
+    args = pipeline_sharded.place_pipeline_inputs(
+        mesh, frames_b, weight, mean, var, p.bg_ratio,
+        tables.valid, tables.lin_idx,
+    )
+    occ_sharded = np.asarray(step(*args))
+
+    # single-device replication: production apply_frozen + the same 3×3
+    # opening + table carve
+    import jax
+
+    for f in range(2):
+        masks = []
+        for c in range(4):
+            st = gmm.MOGState(
+                weight=jnp.asarray(weight[c]), mean=jnp.asarray(mean[c]),
+                var=jnp.asarray(var[c]),
+                nframes=jnp.zeros((), jnp.int32),
+            )
+            raw = gmm.apply_frozen(st, jnp.asarray(frames_b[f, c]), p)
+            fg = (np.asarray(raw) > 0).astype(np.int32)
+            er = -jax.lax.reduce_window(
+                -jnp.asarray(fg), -1, jax.lax.max, (3, 3), (1, 1),
+                ((1, 1), (1, 1)),
+            )
+            di = jax.lax.reduce_window(
+                er, 0, jax.lax.max, (3, 3), (1, 1), ((1, 1), (1, 1))
+            )
+            masks.append((np.asarray(di) > 0).astype(np.uint8) * 255)
+        occ_ref, _ = carve.carve_from_tables(
+            jnp.asarray(np.stack(masks)),
+            jnp.zeros((4, H, W, 3), jnp.uint8),
+            tables.valid, tables.lin_idx, views_threshold=4, color_camera=1,
+        )
+        np.testing.assert_array_equal(occ_sharded[f], np.asarray(occ_ref))

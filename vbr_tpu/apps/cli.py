@@ -94,6 +94,7 @@ def cmd_calibrate(args):
                 ))
             res = auto_ext.auto_extrinsics(
                 args.data, rig, square_mm=square, pattern=board,
+                cam_indices=cams,
             )
             obj = calibration.chessboard_object_points(board, square)
             for cam, cp, mse, fl in zip(cams, res.cameras,
@@ -319,6 +320,9 @@ def cmd_carve(args):
             all_masks.append(pipe.masks_for_frames(frames))
         src.release()
         F = len(all_masks)
+        if F == 0:
+            print("no frames available; nothing to carve")
+            return
         btab = carve_pallas.build_block_tables(
             cams, grid, all_masks[0].shape[1:3],
             color_camera=rig.color_camera,

@@ -168,12 +168,19 @@ class VisualHull:
             # the batched path (ADVICE r1): assert rather than diverge
             p0 = self.mog_params[0]
             for p in self.mog_params[1:]:
-                if (p.bg_ratio, p.use_hsv) != (p0.bg_ratio, p0.use_hsv):
+                fields = ("bg_ratio", "use_hsv", "match_sigma")
+                if any(getattr(p, f) != getattr(p0, f) for f in fields):
                     raise ValueError(
                         "raw_masks_batched requires uniform MOG apply "
-                        "params (bg_ratio, use_hsv) across cameras; got "
-                        f"{[(q.bg_ratio, q.use_hsv) for q in self.mog_params]}"
+                        "params (bg_ratio, use_hsv, match_sigma) across "
+                        "cameras; got "
+                        f"{[(q.bg_ratio, q.use_hsv, q.match_sigma) for q in self.mog_params]}"
                     )
+
+    def _ensure_btab(self):
+        """Lazily build the Pallas carve tables (only the carve paths
+        consume them — masks() must not pay the host-side f64 table
+        build, which is minutes at large grids)."""
         if not hasattr(self, "_btab"):
             from vbr_tpu.ops import carve_pallas
 
@@ -209,6 +216,7 @@ class VisualHull:
         is unavailable).
         """
         self._ensure_fast_state()
+        self._ensure_btab()
         if carve_kernel == "auto":
             carve_kernel = "tables" if (
                 jax.default_backend() == "cpu" or self._btab is None
@@ -265,6 +273,7 @@ class VisualHull:
         host-CCL redo on overflow, which does not occur on the rig data).
         """
         self._ensure_fast_state()
+        self._ensure_btab()
         pending = None  # (occ, col, ovf, frames)
 
         def dispatch(frames):
@@ -320,6 +329,7 @@ class VisualHull:
         from vbr_tpu.ops import carve_pallas
 
         self._ensure_fast_state()
+        self._ensure_btab()
         q = collections.deque()
 
         def dispatch(frames):

@@ -144,6 +144,11 @@ def build_block_tables(
 
     if W // WORD_BITS >= 128:
         raise ValueError("word index must fit 7 bits (image width < 1024)")
+    if H >= 1023:
+        raise ValueError(
+            "image height must be < 1023 (row 1023 is the packed-geometry "
+            "invalid sentinel)"
+        )
 
     perm, nblocks = _blocked_permutation(grid.shape, sub, sup)
     nsuper, nsub, _ = perm.shape
@@ -712,7 +717,9 @@ _PTS_CACHE = {}
 
 
 def _blocked_points_cache(tables: BlockTables, grid: GridConfig):
-    key = (id(tables.perm), grid.shape)
+    # key on the values perm is derived from (id() of a dead array can be
+    # reused by a later allocation)
+    key = (grid.shape, tables.sub_shape, tables.sup_shape)
     if key not in _PTS_CACHE:
         # f32 + trunc precomputed: voxel coords are integer mm (reference
         # grid steps are whole mm), exact in f32 — halves host indexing cost
@@ -858,33 +865,6 @@ def _carve_frames_device(
         occ_b.reshape(nsuper, nsub * BV, NF), sub, sup, nblocks
     )  # (N, NF)
     return jnp.transpose(occ, (1, 0)).astype(jnp.bool_)  # (NF, N)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("k_occupied", "color_camera"),
-)
-def _colors_at_occupied(occ, image, valid, lin_idx, *, k_occupied: int,
-                        color_camera: int):
-    """Per-frame compact color gather at occupied voxels only.
-
-    occ (N,) bool, image (H, W, 3) u8 → (idx (K,), col (K, 3), count).
-    Same color semantics as carve_from_tables (colors defined at occupied
-    voxels; the reference reads colors only there, assignment.py:127-133).
-    Compaction via cumsum + searchsorted (jnp.nonzero lowers to a full
-    sort on TPU — ~10× slower at 2M elements).
-    """
-    cs = jnp.cumsum(occ.astype(jnp.int32))
-    count = cs[-1]
-    pos = jnp.searchsorted(
-        cs, jnp.arange(1, k_occupied + 1, dtype=jnp.int32)
-    )
-    idx = jnp.clip(pos, 0, occ.shape[0] - 1).astype(jnp.int32)
-    li = lin_idx[color_camera][idx]
-    flat = image.reshape(-1, 3)
-    col = flat[li]
-    slot_valid = jnp.arange(k_occupied) < count
-    col = jnp.where(slot_valid[:, None], col, 0)
-    return idx, col, count
 
 
 def carve_frames_blocked(

@@ -19,11 +19,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vbr_tpu.ops import gmm as gmm_ops
+from vbr_tpu.utils.config import MOGParams
 
-VAR_THRESHOLD = gmm_ops.VAR_THRESHOLD
 
-
-def sharded_pipeline_step(mesh: Mesh, *, views_threshold: int = 4):
+def sharded_pipeline_step(mesh: Mesh, *, views_threshold: int = 4,
+                          mog_params: MOGParams = MOGParams()):
     """Build the jitted sharded step.
 
     Signature:
@@ -35,25 +35,26 @@ def sharded_pipeline_step(mesh: Mesh, *, views_threshold: int = 4):
 
     frames sharded (data, cam); GMM state sharded (cam); carve tables
     sharded (cam, grid).  Masks flow shard-locally from the GMM stage into
-    the carve stage — no resharding between stages.
+    the carve stage — no resharding between stages.  The GMM apply is the
+    REAL production `gmm.apply_frozen` (MOGState.var = channel-summed
+    variance, OpenCV break-at-first-empty prefix and kForeground
+    conventions) so sharded masks match the single-chip path; ``bg_ratio``
+    is accepted for signature compatibility but the gate parameters come
+    from ``mog_params`` (static), like everywhere else.
     """
 
     def _local(frames, weight, mean, var, bg_ratio, valid, lin_idx):
         f, c, H, W, _ = frames.shape
+        del bg_ratio  # bg_ratio lives in mog_params (static)
 
         def apply_one(frame, w, mu, v):
-            x = frame.astype(jnp.float32)
-            diff = x[..., None, :] - mu
-            d2 = jnp.sum(diff * diff, axis=-1)
-            matched = (d2 < VAR_THRESHOLD * 3.0 * v) & (w > 1e-7)
-            any_match = matched.any(axis=-1)
-            first = jnp.argmax(matched, axis=-1)
-            cumw = jnp.cumsum(w, axis=-1)
-            over = cumw > bg_ratio
-            k_fg = jnp.argmax(over, axis=-1) + 1
-            k_fg = jnp.where(over.any(axis=-1), k_fg, w.shape[-1])
-            fg = ~(any_match & (first < k_fg))
-            # 3×3 opening (erode+dilate) — shard-local morphology
+            state = gmm_ops.MOGState(
+                weight=w, mean=mu, var=v,
+                nframes=jnp.zeros((), jnp.int32),
+            )
+            raw = gmm_ops.apply_frozen.__wrapped__(state, frame, mog_params)
+            fg = raw > 0
+            # 3×3 opening (erode+dilate) — shard-local pre-morphology
             fgi = fg.astype(jnp.int32)
             er = -jax.lax.reduce_window(
                 -fgi, -1, jax.lax.max, (3, 3), (1, 1), ((1, 1), (1, 1))

@@ -605,15 +605,17 @@ def flip_pose_180(rvec, tvec, square_mm: float = 115.0, pattern=_PATTERN):
 
 def quick_person_masks(data_dir: str, num_cameras: int = 4,
                        frame_index: int = 0,
-                       threshold: float = 35.0) -> np.ndarray:
+                       threshold: float = 35.0,
+                       cam_indices=None) -> np.ndarray:
     """(C, H, W) u8 foreground masks of video.avi frame 0 via median-BG
     diff — crude but synchronized, sufficient for orientation voting."""
     import os
 
     from vbr_tpu.utils import video as vio
 
+    cam_indices = cam_indices or list(range(1, num_cameras + 1))
     masks = []
-    for cam in range(1, num_cameras + 1):
+    for cam in cam_indices:
         d = os.path.join(data_dir, f"cam{cam}")
         bg = median_background(os.path.join(d, "background.avi"))
         frame = vio.get_frame(os.path.join(d, "video.avi"), frame_index)
@@ -647,17 +649,25 @@ def auto_extrinsics(
     pattern=_PATTERN,
     photometric_iters: int = 400,
     resolve_orientation: bool = True,
+    cam_indices: Optional[Sequence[int]] = None,
 ) -> AutoExtrinsicsResult:
     """Full-auto extrinsics for the rig (see module docstring).
 
     ``cameras`` provides intrinsics (K, dist); poses are replaced.
+    ``cam_indices`` names the data subdirectories (1-based, default
+    1..len(cameras)) so a --cams subset pairs each intrinsics entry with
+    ITS camera's videos.
     """
     import os
+
+    cam_indices = list(cam_indices or range(1, len(cameras) + 1))
+    if len(cam_indices) != len(cameras):
+        raise ValueError("cam_indices must match cameras")
 
     cand = []
     n_blobs, n_matched, mses = [], [], []
     for ci, cp in enumerate(cameras):
-        d = os.path.join(data_dir, f"cam{ci + 1}")
+        d = os.path.join(data_dir, f"cam{cam_indices[ci]}")
         gray = temporal_mean_gray(os.path.join(d, "checkerboard.avi"))
         bg = median_background(os.path.join(d, "background.avi"))
         from vbr_tpu.utils import video as vio
@@ -699,7 +709,8 @@ def auto_extrinsics(
         mses.append(mse)
 
     if resolve_orientation and len(cameras) >= 2:
-        masks = quick_person_masks(data_dir, num_cameras=len(cameras))
+        masks = quick_person_masks(data_dir, num_cameras=len(cameras),
+                                   cam_indices=cam_indices)
         flips, votes = resolve_rig_orientation(
             cameras, cand, masks, square_mm, pattern
         )
