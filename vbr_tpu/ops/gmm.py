@@ -37,6 +37,13 @@ state is laid out (K, H·W) / (3, K, H·W) so the pixel axis is the minor
 per-step full argsort + 4 minor-axis gathers made training ~30× slower
 than this).  Bit-exactness vs the C++ oracle is asserted by randomized
 probe tests (tests/test_gmm.py) per SURVEY.md §4.
+
+MOG2 (Zivkovic) is likewise reproduced operation-for-operation from
+bgfg_gaussmix2.cpp — first-fit scan order, in-loop decay + prune with
+the mid-loop ``nmodes--`` bound truncation, strict-inequality weight
+bubbles, dynamic per-pixel mode counts, and cv2's 1/min(2n, history)
+auto learning rate — giving pixel-exact masks vs
+cv2.createBackgroundSubtractorMOG2 on the real data (tests).
 """
 
 from __future__ import annotations
@@ -551,7 +558,8 @@ class MOG2Params:
 class MOG2State(NamedTuple):
     weight: jnp.ndarray  # (H, W, K)
     mean: jnp.ndarray  # (H, W, K, 3)
-    var: jnp.ndarray  # (H, W, K)
+    var: jnp.ndarray  # (H, W, K) — TOTAL (3-channel-summed) variance
+    nmodes: jnp.ndarray  # (H, W) i32 — live mode count (Zivkovic dynamic K)
     nframes: jnp.ndarray
 
 
@@ -562,73 +570,204 @@ def init_mog2(shape_hw, params: MOG2Params) -> MOG2State:
         weight=jnp.zeros((H, W, K), jnp.float32),
         mean=jnp.zeros((H, W, K, 3), jnp.float32),
         var=jnp.full((H, W, K), params.var_init, jnp.float32),
+        nmodes=jnp.zeros((H, W), jnp.int32),
         nframes=jnp.zeros((), jnp.int32),
     )
+
+
+def _mog2_pass(w, mu, var, nmodes, x, alphaT, params: MOG2Params):
+    """One exact pass of OpenCV's MOG2 per-pixel loop, vectorized.
+
+    Reproduces bgfg_gaussmix2.cpp operation-for-operation (validated
+    against cv2.createBackgroundSubtractorMOG2 by single-pixel probes to
+    0 mask diffs over randomized sequences, incl. the mid-loop
+    ``nmodes--`` truncation quirk and the strict-inequality bubbles):
+
+      * modes visited in storage order; the *first* mode within
+        Tg·var owns the sample (not the closest);
+      * every visited mode decays ``w' = (1-α)w - α·cT`` (owner gets +α),
+        and a visited non-owner with ``w' < α·cT`` is pruned to 0 with
+        ``nmodes--`` — which also SHRINKS the loop bound, skipping the
+        tail;
+      * owner update ``k = α/w'``, ``μ += k·(x-μ)``,
+        ``var = clamp(var + k·(dist2-var))`` with dist2 the channel-SUM;
+      * owner bubbles up while its new weight is ≥ the (already decayed)
+        weight above — strict ``<`` stops it;
+      * no owner → new mode (replacing the last slot when full) with
+        weight α (1.0 when it is the only mode), bubbled the same way;
+      * weights renormalized by the total over visited modes.
+
+    ``alphaT = 0`` reproduces the frozen apply exactly (no state change).
+    The training/apply mask: background iff some visited mode k with
+    cumulative (pre-normalization) weight below backgroundRatio has
+    ``dist2 < Tb·var`` before the first owner.
+
+    Returns (w, mu, var, nmodes, bg_mask bool).
+    """
+    K = w.shape[-1]
+    f32 = jnp.float32
+    alphaT = jnp.asarray(alphaT, f32)
+    alpha1 = f32(1.0) - alphaT
+    prune_neg = -alphaT * f32(params.complexity_prune)  # C++ 'prune' (≤ 0)
+    Tb = f32(params.var_threshold)
+    Tg = f32(params.var_threshold_gen)
+    TB = f32(params.bg_ratio)
+
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, w.shape, w.ndim - 1)
+    diff = x[..., None, :] - mu  # (..., K, 3)
+    dist2 = (diff[..., 0] * diff[..., 0] + diff[..., 1] * diff[..., 1]
+             + diff[..., 2] * diff[..., 2])
+    fits_raw = dist2 < Tg * var
+
+    # decayed-unmatched weights and the would-prune flags (owner is never
+    # pruned: its weight gains +α ≥ α > α·cT)
+    wd = alpha1 * w + prune_neg
+    would_prune = wd < -prune_neg
+
+    # pass 1 — processed prefix assuming no owner among earlier modes
+    # (true for every mode up to and including the first fit): mode k is
+    # processed iff k < nmodes − (#prunes among processed j < k)
+    pc = jnp.zeros_like(nmodes)
+    proc1 = []
+    for j in range(K):
+        pj = j < (nmodes - pc)
+        proc1.append(pj)
+        pc = pc + (would_prune[..., j] & pj).astype(pc.dtype)
+    proc1 = jnp.stack(proc1, axis=-1)
+
+    c = jnp.min(jnp.where(fits_raw & proc1, k_idx, K), axis=-1)  # first fit
+    any_fit = c < K
+    is_hit = (k_idx == c[..., None]) & any_fit[..., None]
+
+    # pass 2 — processed prefix with the owner exempt from pruning
+    wp_adj = would_prune & ~is_hit
+    pc = jnp.zeros_like(nmodes)
+    proc = []
+    for j in range(K):
+        pj = j < (nmodes - pc)
+        proc.append(pj)
+        pc = pc + (wp_adj[..., j] & pj).astype(pc.dtype)
+    processed = jnp.stack(proc, axis=-1)
+
+    # final per-slot weights (pre-bubble, pre-normalization)
+    wfin = jnp.where(is_hit, wd + alphaT, wd)
+    pruned = processed & ~is_hit & (wfin < -prune_neg)
+    wfin = jnp.where(pruned, f32(0.0), wfin)
+    wfin = jnp.where(processed, wfin, w)  # truncated tail keeps stale w
+    nmodes1 = nmodes - jnp.sum(pruned, axis=-1)
+
+    # owner content update (old var in both gate and update — C++ reuses
+    # the pre-update scalars)
+    w_hit_val = jnp.sum(jnp.where(is_hit, wfin, 0.0), axis=-1)
+    kk = alphaT / jnp.maximum(w_hit_val, f32(1e-30))
+    mu_upd = mu + kk[..., None, None] * diff
+    var_upd = jnp.clip(
+        var + kk[..., None] * (dist2 - var),
+        f32(params.var_min), f32(params.var_max),
+    )
+    mu1 = jnp.where(is_hit[..., None], mu_upd, mu)
+    var1 = jnp.where(is_hit, var_upd, var)
+
+    # background test BEFORE mutating order: visited modes up to the
+    # owner, cumulative pre-normalization weight below TB
+    cum_excl = jnp.cumsum(jnp.where(processed, wfin, 0.0), axis=-1) \
+        - jnp.where(processed, wfin, 0.0)
+    visited = processed & (k_idx <= c[..., None])
+    bg = jnp.any(
+        visited & (cum_excl < TB) & (dist2 < Tb * var), axis=-1
+    )
+
+    # owner bubble: strict `<` stop ⇒ blockers are modes above with
+    # strictly LARGER (decayed) weight
+    blocker = (k_idx < c[..., None]) & (wfin > w_hit_val[..., None])
+    pos = jnp.max(jnp.where(blocker, k_idx + 1, 0), axis=-1)
+
+    def bubble_k(arr, val, pos, src, on):
+        """K-axis at position `axis`; arr (..., K) or (..., K, 3)."""
+        if arr.ndim == w.ndim:  # (..., K)
+            j = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 1)
+            pp, cc = pos[..., None], src[..., None]
+            vv = val[..., None] * jnp.ones_like(arr)
+            onb = on[..., None]
+            down = _shift_down(arr, arr.ndim - 1)
+        else:  # (..., K, 3)
+            j = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 2)
+            pp, cc = pos[..., None, None], src[..., None, None]
+            vv = val
+            onb = on[..., None, None]
+            down = _shift_down(arr, arr.ndim - 2)
+        moved = jnp.where(
+            j == pp, vv, jnp.where((j > pp) & (j <= cc), down, arr)
+        )
+        return jnp.where(onb, moved, arr)
+
+    hit_mu = jnp.sum(jnp.where(is_hit[..., None], mu_upd, 0.0), axis=-2,
+                     keepdims=True)
+    hit_var = jnp.sum(jnp.where(is_hit, var_upd, 0.0), axis=-1)
+    w2 = bubble_k(wfin, w_hit_val, pos, c, any_fit)
+    mu2 = bubble_k(mu1, hit_mu, pos, c, any_fit)
+    var2 = bubble_k(var1, hit_var, pos, c, any_fit)
+
+    total = jnp.sum(jnp.where(processed, wfin, 0.0), axis=-1)
+
+    # no owner → new mode (training only: alphaT > 0)
+    no_fit = (~any_fit) & (alphaT > 0)
+    r = jnp.minimum(nmodes1, K - 1)
+    nmodes2 = jnp.where(no_fit, jnp.minimum(nmodes1 + 1, K), nmodes1)
+    is_single = nmodes2 == 1
+    new_w = jnp.where(is_single, f32(1.0), alphaT)
+    total = jnp.where(
+        no_fit, jnp.where(is_single, f32(1.0), total + alphaT), total
+    )
+    # write the new mode at slot r, then bubble (strict `<` stop again)
+    blocker2 = (k_idx < r[..., None]) & (w2 > new_w[..., None])
+    pos2 = jnp.max(jnp.where(blocker2, k_idx + 1, 0), axis=-1)
+    new_mu = jnp.broadcast_to(x[..., None, :], mu2.shape[:-2] + (1, 3))
+    # place new values at slot r first (so the shift carries old content)
+    k_last = jax.lax.broadcasted_iota(jnp.int32, w2.shape, w2.ndim - 1)
+    at_r = k_last == r[..., None]
+    w3 = jnp.where(no_fit[..., None] & at_r, new_w[..., None], w2)
+    mu3 = jnp.where((no_fit[..., None] & at_r)[..., None],
+                    x[..., None, :], mu2)
+    var3 = jnp.where(no_fit[..., None] & at_r, f32(params.var_init), var2)
+    w4 = bubble_k(w3, new_w, pos2, r, no_fit)
+    mu4 = bubble_k(mu3, new_mu, pos2, r, no_fit)
+    var4 = bubble_k(var3, jnp.full_like(new_w, params.var_init), pos2, r,
+                    no_fit)
+
+    inv = jnp.where(total > 0, f32(1.0) / total, f32(0.0))
+    w5 = w4 * inv[..., None]
+    return w5, mu4, var4, nmodes2, bg
 
 
 @functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
 def update_mog2(state: MOG2State, frame: jnp.ndarray,
                 params: MOG2Params) -> MOG2State:
-    """One Zivkovic update step on a (H, W, 3) uint8 frame."""
+    """One exact Zivkovic/OpenCV update on a (H, W, 3) uint8 frame.
+
+    The auto learning rate mirrors cv2: α = 1/min(2·nframes, history).
+    """
     nframes = state.nframes + 1
-    alpha = 1.0 / jnp.minimum(nframes, params.history).astype(jnp.float32)
-    x = frame.astype(jnp.float32)
-    w, mu, var = state.weight, state.mean, state.var
-    K = w.shape[-1]
-
-    diff = x[..., None, :] - mu
-    d2 = jnp.sum(diff * diff, axis=-1)
-    # ownership: closest component within Tg·var (total variance)
-    maha = d2 / jnp.maximum(var, 1e-6)
-    fits = (maha < params.var_threshold_gen) & (w > 0)
-    # closest fitting component
-    maha_masked = jnp.where(fits, maha, jnp.inf)
-    kmin = jnp.argmin(maha_masked, axis=-1)
-    any_fit = fits.any(axis=-1)
-    k_idx = jax.lax.broadcasted_iota(jnp.int32, w.shape, w.ndim - 1)
-    own = (k_idx == kmin[..., None]) & any_fit[..., None]
-
-    w_new = w + alpha * (own.astype(jnp.float32) - w) - alpha * params.complexity_prune
-    w_new = jnp.maximum(w_new, 0.0)
-    rho = alpha / jnp.maximum(w_new, 1e-6)
-    mu_new = jnp.where(own[..., None], mu + rho[..., None] * diff, mu)
-    var_cand = var + rho * (d2 - var)
-    var_new = jnp.where(
-        own, jnp.clip(var_cand, params.var_min, params.var_max), var
+    alphaT = (
+        1.0 / jnp.minimum(2 * nframes, params.history).astype(jnp.float32)
     )
-
-    # no fit: replace weakest with a new component
-    weakest = jnp.argmin(w_new, axis=-1)
-    replace = (~any_fit)[..., None] & (k_idx == weakest[..., None])
-    w_new = jnp.where(replace, alpha, w_new)
-    mu_new = jnp.where(replace[..., None], x[..., None, :], mu_new)
-    var_new = jnp.where(replace, params.var_init, var_new)
-
-    w_new = w_new / jnp.maximum(jnp.sum(w_new, axis=-1, keepdims=True), 1e-12)
-    w_s, mu_s, var_s = _sort_state(w_new, mu_new, var_new)
-    return MOG2State(weight=w_s, mean=mu_s, var=var_s, nframes=nframes)
+    x = frame.astype(jnp.float32)
+    w, mu, var, nmodes, bg = _mog2_pass(
+        state.weight, state.mean, state.var, state.nmodes, x, alphaT, params
+    )
+    return MOG2State(weight=w, mean=mu, var=var, nmodes=nmodes,
+                     nframes=nframes)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def apply_mog2(state: MOG2State, frame: jnp.ndarray, params: MOG2Params):
-    """Frozen MOG2 inference → (H, W) u8 mask {0, 255}."""
+    """Frozen MOG2 inference → (H, W) u8 mask {0, 255} (α = 0 pass)."""
     x = frame.astype(jnp.float32)
-    w, mu, var = state.weight, state.mean, state.var
-    diff = x[..., None, :] - mu
-    d2 = jnp.sum(diff * diff, axis=-1)
-    maha = d2 / jnp.maximum(var, 1e-6)
-    cumw = jnp.cumsum(w, axis=-1)
-    # background components: leading set with cumulative weight <= ratio
-    # (plus the first crossing one)
-    over = cumw > params.bg_ratio
-    k_fg = jnp.argmax(over, axis=-1) + 1
-    k_fg = jnp.where(over.any(axis=-1), k_fg, w.shape[-1])
-    k_idx = jax.lax.broadcasted_iota(jnp.int32, w.shape, w.ndim - 1)
-    is_bg_component = k_idx < k_fg[..., None]
-    matched_bg = (
-        (maha < params.var_threshold) & is_bg_component & (w > 1e-7)
-    ).any(axis=-1)
-    return jnp.where(matched_bg, jnp.uint8(0), jnp.uint8(255))
+    _, _, _, _, bg = _mog2_pass(
+        state.weight, state.mean, state.var, state.nmodes, x,
+        jnp.float32(0.0), params,
+    )
+    return jnp.where(bg, jnp.uint8(0), jnp.uint8(255))
 
 
 @functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
