@@ -76,6 +76,37 @@ def test_mog2_parity_fast(small_seq):
     np.testing.assert_array_equal(mask_jax > 0, mask_cv > 0)
 
 
+def test_knn_parity_at_cv2_self_consistency_ceiling(small_seq):
+    """cv2's KNN carries hidden process-global RNG state (bgfg_KNN): two
+    runs on IDENTICAL data disagree with each other (~0.998 IoU on the
+    real rig).  Bit-exactness is therefore ill-defined; the gate asserts
+    our masks agree with cv2 at least as well as cv2 agrees with itself
+    minus a small margin."""
+    import cv2
+
+    from vbr_tpu.ops import gmm
+
+    bg, test = small_seq
+
+    def run_cv():
+        sub = cv2.createBackgroundSubtractorKNN(
+            history=bg.shape[0], dist2Threshold=3500, detectShadows=False
+        )
+        for fr in bg:
+            sub.apply(cv2.cvtColor(fr, cv2.COLOR_BGR2HSV), None, -1)
+        return sub.apply(cv2.cvtColor(test, cv2.COLOR_BGR2HSV), None, 0) > 0
+
+    a, b = run_cv(), run_cv()
+    self_iou = _iou(a, b)
+
+    params = gmm.KNNParams(history=bg.shape[0], dist2_threshold=3500,
+                           use_hsv=True)
+    state = gmm.train_knn(bg, params)
+    ours = np.asarray(gmm.extract_mask_knn(state, test, params)) > 0
+    our_iou = _iou(ours, a)
+    assert our_iou >= self_iou - 0.02, (our_iou, self_iou)
+
+
 def test_knn_parity_fast(small_seq):
     import cv2
 
