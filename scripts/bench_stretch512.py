@@ -62,7 +62,11 @@ def main():
             pk=jnp.asarray(z["pk"]), lcc=jnp.asarray(z["lcc"]),
             vorig=jnp.asarray(z["vorig"]), uorig=jnp.asarray(z["uorig"]),
             cell_mat=jnp.asarray(z["cell_mat"], dtype=jnp.bfloat16),
-            n_cells_hw=(hc, wc), cell=cell, perm=perm,
+            n_cells_hw=(hc, wc),
+            allv=jnp.asarray(z["allv"]),
+            ry=jnp.asarray(z["ry"], dtype=jnp.bfloat16),
+            rx=jnp.asarray(z["rx"], dtype=jnp.bfloat16),
+            cell=cell, perm=perm,
         )
     else:
         t0 = time.time()
@@ -76,6 +80,9 @@ def main():
                 pk=np.asarray(btab.pk), lcc=np.asarray(btab.lcc),
                 vorig=np.asarray(btab.vorig), uorig=np.asarray(btab.uorig),
                 cell_mat=np.asarray(btab.cell_mat).astype(np.int8),
+                allv=np.asarray(btab.allv),
+                ry=np.asarray(btab.ry).astype(np.int8),
+                rx=np.asarray(btab.rx).astype(np.int8),
                 meta=np.array(
                     [btab.WH, btab.WC, btab.Hp, btab.Wc,
                      btab.n_cells_hw[0], btab.n_cells_hw[1], btab.cell],

@@ -163,3 +163,64 @@ def test_accelerated_block_tables_exact(rig_cameras):
             err_msg=name,
         )
     assert (a.WH, a.WC, a.Hp, a.Wc) == (b.WH, b.WC, b.Hp, b.Wc)
+
+
+def test_full_interior_blocks_exact(rig_cameras, first_frames):
+    """Provably-full interior shortcut: giant foreground regions make
+    hull-interior sub-blocks skip compute; occupancy must stay
+    bit-identical to the table path and the fast path must actually
+    fire."""
+    import jax.numpy as jnp
+
+    grid = GridConfig(nx=16, ny=16, nz=16)
+    tables = carve.build_projection_tables(rig_cameras, grid, (486, 644))
+    btab = carve_pallas.build_block_tables(
+        rig_cameras, grid, (486, 644), sub=(8, 8, 8), sup=(1, 1, 1)
+    )
+    # nearly-all-foreground masks → interior blocks provably full
+    masks = np.full((4, 486, 644), 255, np.uint8)
+    masks[:, :4] = 0  # keep a border of background
+
+    active, full = carve_pallas._block_activity(
+        jnp.asarray(masks), btab.cell_mat, btab.n_cells_hw[0],
+        btab.n_cells_hw[1], 4, btab.cell, btab.allv, btab.ry, btab.rx,
+    )
+    assert int(np.asarray(full).sum()) > 0, "full fast path never fires"
+
+    occ_p, col_p = carve_pallas.carve_blocked(
+        jnp.asarray(masks), jnp.asarray(first_frames[1]), btab,
+        views_threshold=4, interpret=True,
+    )
+    occ_t, col_t = carve.carve_from_tables(
+        jnp.asarray(masks), jnp.asarray(first_frames),
+        tables.valid, tables.lin_idx, views_threshold=4, color_camera=1,
+    )
+    occ_p, occ_t = np.asarray(occ_p), np.asarray(occ_t)
+    np.testing.assert_array_equal(occ_p, occ_t)
+    np.testing.assert_array_equal(
+        np.asarray(col_p)[occ_t], np.asarray(col_t)[occ_t]
+    )
+
+    # threshold < C: full blocks still carry the exact count C
+    occ_p3, _ = carve_pallas.carve_blocked(
+        jnp.asarray(masks), jnp.asarray(first_frames[1]), btab,
+        views_threshold=3, interpret=True,
+    )
+    occ_t3, _ = carve.carve_from_tables(
+        jnp.asarray(masks), jnp.asarray(first_frames),
+        tables.valid, tables.lin_idx, views_threshold=3, color_camera=1,
+    )
+    np.testing.assert_array_equal(np.asarray(occ_p3), np.asarray(occ_t3))
+
+    # multi-frame path: intersection-full blocks shortcut per frame
+    masks_f = np.stack([masks, masks, np.roll(masks, 30, axis=2)])
+    occ_f = np.asarray(carve_pallas.carve_frames_blocked(
+        jnp.asarray(masks_f), btab, views_threshold=4,
+        frames_per_launch=2, interpret=True,
+    ))
+    for f in range(3):
+        occ_tf, _ = carve.carve_from_tables(
+            jnp.asarray(masks_f[f]), jnp.asarray(first_frames),
+            tables.valid, tables.lin_idx, views_threshold=4, color_camera=1,
+        )
+        np.testing.assert_array_equal(occ_f[f], np.asarray(occ_tf))

@@ -51,6 +51,7 @@ BV = 512  # voxels per sub-block (8³)
 WORD_BITS = 8  # mask columns packed per word (8 keeps words bf16-exact)
 LANE = 128  # TPU lane width; lane-dim slices must be multiples of this
 CELL = 32  # activity-test cell size in pixels (see build_block_tables)
+FCELL = 8  # fine-cell size for the provably-full interior test
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -96,6 +97,17 @@ class BlockTables:
     # threshold, so the kernel skips it (exact for occupancy).
     cell_mat: jnp.ndarray  # (C, nsuper*nsub, n_cells_padded) bf16
     n_cells_hw: Tuple[int, int]  # cell grid (hc, wc)
+    # provably-full interior test: allv[blk] = every voxel of the block
+    # projects VALIDLY (inside the image) in every camera.  Combined at
+    # runtime with an all-fine-cells-foreground test, such a block is
+    # fully occupied without computing (exact; hull interiors dominate at
+    # scale).  The bbox→fine-cell covering relation is axis-separable, so
+    # it is stored factorized: ry/rx are row/column span indicators over
+    # the FCELL grid, and holes(block) = ryᵀ·(1−fgmin)·rx per camera.
+    allv: jnp.ndarray = None  # (nsuper, nsub) i32
+    ry: jnp.ndarray = None  # (C, nsuper*nsub, hf_pad) bf16 row spans
+    rx: jnp.ndarray = None  # (C, nsuper*nsub, wf_pad) bf16 col spans
+    n_fcells_hw: Tuple[int, int] = (0, 0)  # fine-cell grid (hf, wf)
     cell: int = CELL  # activity-cell pixel size (coarser for huge grids)
     # host-side: canonical voxel index of each (superblock, sub, voxel) slot
     perm: np.ndarray = dataclasses.field(
@@ -158,6 +170,7 @@ def build_block_tables(
 
     pk = np.zeros((nsuper, nsub, C, BV), dtype=np.int32)
     vorig = np.zeros((nsuper, nsub, C), dtype=np.int32)
+    allv = np.ones((nsuper, nsub), dtype=bool)
     iy_color = None
     ix_color = None
     valid_color = None
@@ -168,6 +181,12 @@ def build_block_tables(
     n_cells_p = _ceil_to(n_cells, LANE)
     nblk = nsuper * nsub
     cell_mat = np.zeros((C, nblk, hc, wc), dtype=np.int8)
+    hf = -(-H // FCELL)
+    wf = -(-W // FCELL)
+    hf_p = _ceil_to(hf, LANE)
+    wf_p = _ceil_to(wf, LANE)
+    ry = np.zeros((C, nblk, hf_p), dtype=np.int8)
+    rx = np.zeros((C, nblk, wf_p), dtype=np.int8)
 
     need_wh = 8
     for c, cp in enumerate(cameras):
@@ -199,6 +218,7 @@ def build_block_tables(
             | (ix_b % WORD_BITS)
         ).astype(np.int32)
 
+        allv &= valid_b.all(axis=2)
         any_v = valid_b.any(axis=2)
         ymin = np.where(any_v, np.where(valid_b, iy_b, 10**6).min(axis=2), 0)
         ymax = np.where(any_v, np.where(valid_b, iy_b, -1).max(axis=2), 0)
@@ -222,6 +242,18 @@ def build_block_tables(
         filled = np.cumsum(np.cumsum(diff, axis=1, dtype=np.int8),
                            axis=2, dtype=np.int8)
         cell_mat[c] = filled[:, :hc, :wc]
+
+        # fine row/col span indicators (1-D difference + cumsum)
+        y0F, y1F = (ymin // FCELL).ravel(), (ymax // FCELL).ravel()
+        x0F, x1F = (xmin_c // FCELL).ravel(), (xmax_c // FCELL).ravel()
+        dy = np.zeros((nblk, hf_p + 1), np.int8)
+        np.add.at(dy, (bidx, y0F[bidx]), 1)
+        np.add.at(dy, (bidx, y1F[bidx] + 1), -1)
+        ry[c] = np.cumsum(dy, axis=1, dtype=np.int8)[:, :hf_p]
+        dx = np.zeros((nblk, wf_p + 1), np.int8)
+        np.add.at(dx, (bidx, x0F[bidx]), 1)
+        np.add.at(dx, (bidx, x1F[bidx] + 1), -1)
+        rx[c] = np.cumsum(dx, axis=1, dtype=np.int8)[:, :wf_p]
 
     WH = _ceil_to(need_wh, 8)
     Hp = _ceil_to(H, 8) + WH  # guarantees v0 + WH <= Hp for any v0 <= H-1
@@ -264,6 +296,10 @@ def build_block_tables(
         uorig=jnp.asarray(uorig),
         cell_mat=jnp.asarray(cell_flat, dtype=jnp.bfloat16),
         n_cells_hw=(hc, wc),
+        allv=jnp.asarray(allv.astype(np.int32)),
+        ry=jnp.asarray(ry, dtype=jnp.bfloat16),
+        rx=jnp.asarray(rx, dtype=jnp.bfloat16),
+        n_fcells_hw=(hf, wf),
         cell=cell,
         perm=perm,
     )
@@ -314,6 +350,7 @@ def _make_kernel(C, nsub, WH, WC, n_words, color_camera, views_threshold):
         vorig_ref,  # (1, nsub, C) i32
         uorig_ref,  # (1, nsub, 1) i32 (64-aligned color column origin)
         active_ref,  # (1, nsub, 1) i32 — 0 ⇒ provably below threshold
+        full_ref,  # (1, nsub, 1) i32 — 1 ⇒ provably fully occupied
         mask_ref,  # (C, Hp, n_words) bf16   — full VMEM resident
         img_ref,  # (2, 3, Hp, Wc) bf16     — full VMEM resident (dual copy)
         count_ref,  # (1, nsub, BV) i32
@@ -335,7 +372,13 @@ def _make_kernel(C, nsub, WH, WC, n_words, color_camera, views_threshold):
             )  # (BV, 1)
 
         def sub_body(s, carry):
-            @pl.when(active_ref[0, s, 0] != 0)
+            @pl.when(full_ref[0, s, 0] != 0)
+            def _full():
+                # provably fully occupied: emit counts = C, colors only
+                count_ref[0, s, :] = jnp.full((BV,), C, jnp.int32)
+                _color_gather(s)
+
+            @pl.when((active_ref[0, s, 0] != 0) & (full_ref[0, s, 0] == 0))
             def _compute():
                 counts = jnp.zeros((BV, 1), jnp.float32)
                 for c in range(C):
@@ -431,18 +474,29 @@ def _blocked_to_canonical(x_blocked, sub, sup, nblocks):
     return x.transpose(inv).reshape((n,) + trailing)
 
 
-def _block_activity(masks, cell_mat, hc, wc, views_threshold, cell=CELL):
-    """(C, H, W) u8 masks → (nsuper*nsub,) i32 sub-block activity flags.
+def _block_activity(masks, cell_mat, hc, wc, views_threshold, cell=CELL,
+                    allv=None, ry=None, rx=None):
+    """(C, H, W) u8 masks → per-sub-block (active, full) i32 flags.
 
-    Conservative & exact: flag 0 only when fewer than views_threshold
-    cameras have any foreground pixel inside the sub-block's projected
-    footprint bbox — then no voxel in the block can reach the threshold.
+    Both conservative & exact:
+      * active = 0 only when fewer than views_threshold cameras have any
+        foreground pixel inside the block's projected footprint bbox —
+        then no voxel can reach the threshold;
+      * full = 1 only when EVERY FCELL×FCELL fine cell covering the
+        footprint bbox is entirely foreground in EVERY camera AND every
+        projection is valid (static ``allv``) — then every voxel counts
+        C views, so the kernel can emit full occupancy without
+        computing.  The covering relation is axis-separable, so the
+        per-block hole count is the factorized bilinear form
+        ``ryᵀ·(1−fgmin)·rx`` — two thin matmuls instead of an
+        O(blocks·cells) membership matrix.  Hull interiors dominate
+        active blocks at large grids.
     """
     C, H, W = masks.shape
     fg = (masks > 0).astype(jnp.bfloat16)
-    fg = jnp.pad(fg, ((0, 0), (0, hc * cell - H), (0, wc * cell - W)))
+    fgp = jnp.pad(fg, ((0, 0), (0, hc * cell - H), (0, wc * cell - W)))
     cells = jax.lax.reduce_window(
-        fg, jnp.bfloat16(0), jax.lax.max,
+        fgp, jnp.bfloat16(0), jax.lax.max,
         (1, cell, cell), (1, cell, cell), "VALID",
     ).reshape(C, hc * wc)
     cells = jnp.pad(cells, ((0, 0), (0, cell_mat.shape[2] - hc * wc)))
@@ -450,7 +504,29 @@ def _block_activity(masks, cell_mat, hc, wc, views_threshold, cell=CELL):
         "cbk,ck->cb", cell_mat, cells, preferred_element_type=jnp.float32
     )
     cam_any = (counts > 0).astype(jnp.int32)  # (C, nblk)
-    return (cam_any.sum(axis=0) >= views_threshold).astype(jnp.int32)
+    active = (cam_any.sum(axis=0) >= views_threshold).astype(jnp.int32)
+
+    if ry is None:
+        return active, jnp.zeros_like(active)
+
+    hf_p, wf_p = ry.shape[2], rx.shape[2]
+    # fine-cell fg minima; padding (zeros) keeps border cells "not full"
+    fgf = jnp.pad(fg, ((0, 0), (0, hf_p * FCELL - H), (0, wf_p * FCELL - W)))
+    fmin = jax.lax.reduce_window(
+        fgf, jnp.bfloat16(1), jax.lax.min,
+        (1, FCELL, FCELL), (1, FCELL, FCELL), "VALID",
+    )  # (C, hf_p, wf_p)
+    holes_m = (jnp.bfloat16(1) - fmin)  # 1 where a fine cell has any bg
+    # holes[c, b] = Σ_i Σ_j ry[c,b,i]·holes_m[c,i,j]·rx[c,b,j]
+    h1 = jnp.einsum(
+        "cbi,cij->cbj", ry, holes_m, preferred_element_type=jnp.float32
+    )
+    holes = jnp.sum(h1 * rx.astype(jnp.float32), axis=-1)  # (C, nblk)
+    cam_full = (holes == 0).astype(jnp.int32)
+    full = (cam_full.sum(axis=0) == C).astype(jnp.int32)
+    if allv is not None:
+        full = full * allv.reshape(-1)
+    return active, full
 
 
 @functools.partial(
@@ -465,6 +541,9 @@ def _carve_blocked_device(
     vorig,
     uorig,
     cell_mat,
+    allv,
+    ry,
+    rx,
     *,
     tables_static,
     views_threshold: int,
@@ -475,8 +554,11 @@ def _carve_blocked_device(
      Hp, Wc, hc, wc, cell) = tables_static
     packed_masks = pack_masks(masks, Hp=Hp, n_words=n_words)
     packed_img = pack_image(image, Hp=Hp, Wc=Wc)
-    active = _block_activity(masks, cell_mat, hc, wc, views_threshold, cell)
+    active, full = _block_activity(
+        masks, cell_mat, hc, wc, views_threshold, cell, allv, ry, rx
+    )
     active = active.reshape(nsuper, nsub, 1)
+    full = full.reshape(nsuper, nsub, 1)
     kernel = _make_kernel(C, nsub, WH, WC, n_words, color_camera,
                           views_threshold)
 
@@ -494,6 +576,8 @@ def _carve_blocked_device(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nsub, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nsub, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),  # full flags
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed masks (resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed image (resident)
         ],
@@ -508,7 +592,7 @@ def _carve_blocked_device(
             jax.ShapeDtypeStruct((nsuper, nsub, 3, BV), jnp.float32),
         ],
         interpret=interpret,
-    )(pk, lcc, vorig, uorig, active, packed_masks, packed_img)
+    )(pk, lcc, vorig, uorig, active, full, packed_masks, packed_img)
 
     # inactive sub-blocks were never written: mask their garbage to zero,
     # threshold, and narrow to u8 *before* the blocked→canonical transpose
@@ -559,6 +643,9 @@ def carve_blocked(
         tables.vorig,
         tables.uorig,
         tables.cell_mat,
+        tables.allv,
+        tables.ry,
+        tables.rx,
         tables_static=tables_static_tuple(tables),
         views_threshold=views_threshold,
         interpret=interpret,
@@ -761,6 +848,7 @@ def _make_counts_kernel(C, nsub, WH, NF, n_words, views_threshold):
         pk_ref,  # (1, nsub, C, BV) i32 packed row/word/bit
         vorig_ref,  # (1, nsub, C) i32 SMEM
         active_ref,  # (1, nsub, 1) i32 SMEM
+        full_ref,  # (1, nsub, 1) i32 SMEM — full in EVERY frame
         mask_ref,  # (C, Hp, NW) bf16 — VMEM resident
         count_ref,  # (1, nsub, BV, NF) i32
     ):
@@ -773,7 +861,11 @@ def _make_counts_kernel(C, nsub, WH, NF, n_words, views_threshold):
         bd = (row_f == col_f).astype(jnp.float32)
 
         def sub_body(s, carry):
-            @pl.when(active_ref[0, s, 0] != 0)
+            @pl.when(full_ref[0, s, 0] != 0)
+            def _full():
+                count_ref[0, s, :, :] = jnp.full((BV, NF), C, jnp.int32)
+
+            @pl.when((active_ref[0, s, 0] != 0) & (full_ref[0, s, 0] == 0))
             def _compute():
                 counts = jnp.zeros((BV, NF), jnp.float32)
                 for c in range(C):
@@ -820,7 +912,7 @@ def _make_counts_kernel(C, nsub, WH, NF, n_words, views_threshold):
 )
 def _carve_frames_device(
     masks,  # (NF, C, H, W) u8
-    pk, vorig, cell_mat,
+    pk, vorig, cell_mat, allv, ry, rx,
     *,
     tables_static,
     views_threshold: int,
@@ -831,10 +923,17 @@ def _carve_frames_device(
     NF = masks.shape[0]
     packed = pack_masks_frames(masks, Hp=Hp, n_words=n_words)
     # conservative union activity: a block is active if the per-frame
-    # union of foreground could reach the view threshold in its footprint
+    # union of foreground could reach the view threshold in its footprint;
+    # full only when the per-frame INTERSECTION is fully foreground (then
+    # every frame's count is exactly C for every voxel)
     union = jnp.max(masks, axis=0)
-    active = _block_activity(union, cell_mat, hc, wc, views_threshold, cell)
+    inter = jnp.min(masks, axis=0)
+    active, _ = _block_activity(union, cell_mat, hc, wc, views_threshold,
+                                cell)
+    _, full = _block_activity(inter, cell_mat, hc, wc, views_threshold,
+                              cell, allv, ry, rx)
     active = active.reshape(nsuper, nsub, 1)
+    full = full.reshape(nsuper, nsub, 1)
     kernel = _make_counts_kernel(C, nsub, WH, NF, n_words, views_threshold)
 
     (count_b,) = pl.pallas_call(
@@ -847,6 +946,8 @@ def _carve_frames_device(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nsub, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nsub, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),  # full flags
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed masks
         ],
         out_specs=[
@@ -857,7 +958,7 @@ def _carve_frames_device(
             jax.ShapeDtypeStruct((nsuper, nsub, BV, NF), jnp.int32),
         ],
         interpret=interpret,
-    )(pk, vorig, active, packed)
+    )(pk, vorig, active, full, packed)
 
     occ_b = ((active[..., None] > 0)
              & (count_b >= views_threshold)).astype(jnp.uint8)
@@ -897,7 +998,8 @@ def carve_frames_blocked(
     for start in range(0, F + pad, NF):
         occ_chunks.append(_carve_frames_device(
             masks[start : start + NF],
-            tables.pk, tables.vorig, tables.cell_mat,
+            tables.pk, tables.vorig, tables.cell_mat, tables.allv,
+            tables.ry, tables.rx,
             tables_static=static,
             views_threshold=views_threshold,
             interpret=interpret,
