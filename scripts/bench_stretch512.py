@@ -50,7 +50,7 @@ def main():
 
     if cache and os.path.exists(cache):
         z = np.load(cache)
-        WH, WC, Hp, Wc, hc, wc, cell = [int(v) for v in z["meta"]]
+        WH, WC, Hp, Wc = [int(v) for v in z["meta"][:4]]
         perm, nblocks = cpk._blocked_permutation(
             grid.shape, (8, 8, 8), (2, 2, 4)
         )
@@ -61,33 +61,26 @@ def main():
             color_camera=1,
             pk=jnp.asarray(z["pk"]), lcc=jnp.asarray(z["lcc"]),
             vorig=jnp.asarray(z["vorig"]), uorig=jnp.asarray(z["uorig"]),
-            cell_mat=jnp.asarray(z["cell_mat"], dtype=jnp.bfloat16),
-            n_cells_hw=(hc, wc),
             allv=jnp.asarray(z["allv"]),
             ry=jnp.asarray(z["ry"], dtype=jnp.bfloat16),
             rx=jnp.asarray(z["rx"], dtype=jnp.bfloat16),
-            cell=cell, perm=perm,
+            perm=perm,
         )
     else:
         t0 = time.time()
-        btab = cpk.build_block_tables(
-            cams, grid, (486, 644), color_camera=1, cell=64
-        )
+        btab = cpk.build_block_tables(cams, grid, (486, 644),
+                                      color_camera=1)
         print(f"# table build {time.time() - t0:.0f}s", file=sys.stderr)
         if cache:
             np.savez(
                 cache,
                 pk=np.asarray(btab.pk), lcc=np.asarray(btab.lcc),
                 vorig=np.asarray(btab.vorig), uorig=np.asarray(btab.uorig),
-                cell_mat=np.asarray(btab.cell_mat).astype(np.int8),
                 allv=np.asarray(btab.allv),
                 ry=np.asarray(btab.ry).astype(np.int8),
                 rx=np.asarray(btab.rx).astype(np.int8),
-                meta=np.array(
-                    [btab.WH, btab.WC, btab.Hp, btab.Wc,
-                     btab.n_cells_hw[0], btab.n_cells_hw[1], btab.cell],
-                    np.int64,
-                ),
+                meta=np.array([btab.WH, btab.WC, btab.Hp, btab.Wc],
+                              np.int64),
             )
 
     masks_d = jnp.asarray(masks)

@@ -182,8 +182,7 @@ def test_full_interior_blocks_exact(rig_cameras, first_frames):
     masks[:, :4] = 0  # keep a border of background
 
     active, full = carve_pallas._block_activity(
-        jnp.asarray(masks), btab.cell_mat, btab.n_cells_hw[0],
-        btab.n_cells_hw[1], 4, btab.cell, btab.allv, btab.ry, btab.rx,
+        jnp.asarray(masks), 4, btab.allv, btab.ry, btab.rx,
     )
     assert int(np.asarray(full).sum()) > 0, "full fast path never fires"
 

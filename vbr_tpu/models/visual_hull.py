@@ -227,7 +227,7 @@ class VisualHull:
                 self._stacked_bg, frames_d,
                 self._btab.pk,
                 self._btab.lcc, self._btab.vorig, self._btab.uorig,
-                self._btab.cell_mat, self._btab.allv,
+                self._btab.allv,
                 self._btab.ry, self._btab.rx,
                 btab_static=_btab_static(self._btab),
                 mask_params=self._mask_params_t,
@@ -283,7 +283,7 @@ class VisualHull:
                 self._stacked_bg, frames_d,
                 self._btab.pk,
                 self._btab.lcc, self._btab.vorig, self._btab.uorig,
-                self._btab.cell_mat, self._btab.allv,
+                self._btab.allv,
                 self._btab.ry, self._btab.rx,
                 btab_static=_btab_static(self._btab),
                 mask_params=self._mask_params_t,
@@ -339,7 +339,7 @@ class VisualHull:
                 self._stacked_bg, jnp.asarray(frames),
                 self._btab.pk,
                 self._btab.lcc, self._btab.vorig, self._btab.uorig,
-                self._btab.cell_mat, self._btab.allv,
+                self._btab.allv,
                 self._btab.ry, self._btab.rx,
                 btab_static=_btab_static(self._btab),
                 mask_params=self._mask_params_t,
@@ -479,7 +479,7 @@ def _btab_static(t):
     ),
 )
 def _full_step_pallas(
-    stacked_bg, frames, pk, lcc, vorig, uorig, cell_mat, allv, ry, rx, *,
+    stacked_bg, frames, pk, lcc, vorig, uorig, allv, ry, rx, *,
     btab_static, mask_params, mog_params, fig_thresholds, inner_thresholds,
     views_threshold, layout,
 ):
@@ -501,7 +501,7 @@ def _full_step_pallas(
     color_camera = btab_static[6]
     occ, col = carve_pallas._carve_blocked_device.__wrapped__(
         masks, frames[color_camera], pk, lcc, vorig, uorig,
-        cell_mat, allv, ry, rx, tables_static=btab_static,
+        allv, ry, rx, tables_static=btab_static,
         views_threshold=views_threshold,
         layout="blocked" if layout == "packed" else layout,
     )

@@ -50,8 +50,7 @@ from vbr_tpu.utils.config import CameraParams, GridConfig
 BV = 512  # voxels per sub-block (8³)
 WORD_BITS = 8  # mask columns packed per word (8 keeps words bf16-exact)
 LANE = 128  # TPU lane width; lane-dim slices must be multiples of this
-CELL = 32  # activity-test cell size in pixels (see build_block_tables)
-FCELL = 8  # fine-cell size for the provably-full interior test
+FCELL = 8  # activity/full-test fine-cell size in pixels
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -90,25 +89,22 @@ class BlockTables:
     lcc: jnp.ndarray  # (nsuper, nsub, BV) i32 absolute color col, -1 invalid
     vorig: jnp.ndarray  # (nsuper, nsub, C) i32 8-aligned row-window origin
     uorig: jnp.ndarray  # (nsuper, nsub, 1) i32 128-aligned color col origin
-    # activity pruning: cell_mat[c, blk, cell] = 1 iff CELL×CELL pixel cell
-    # `cell` intersects sub-block blk's projected-footprint bbox in camera c.
-    # A sub-block where fewer than views_threshold cameras have any
-    # foreground inside that bbox provably has no voxel reaching the
-    # threshold, so the kernel skips it (exact for occupancy).
-    cell_mat: jnp.ndarray  # (C, nsuper*nsub, n_cells_padded) bf16
-    n_cells_hw: Tuple[int, int]  # cell grid (hc, wc)
-    # provably-full interior test: allv[blk] = every voxel of the block
-    # projects VALIDLY (inside the image) in every camera.  Combined at
-    # runtime with an all-fine-cells-foreground test, such a block is
-    # fully occupied without computing (exact; hull interiors dominate at
-    # scale).  The bbox→fine-cell covering relation is axis-separable, so
-    # it is stored factorized: ry/rx are row/column span indicators over
-    # the FCELL grid, and holes(block) = ryᵀ·(1−fgmin)·rx per camera.
+    # activity / provably-full pruning, both exact-conservative and both
+    # evaluated with the SAME factorized machinery: the block's projected
+    # footprint bbox → FCELL-grid covering relation is axis-separable, so
+    # ry/rx store row/column span indicators and a per-block reduction
+    # over the covered cells is the bilinear form ryᵀ·M·rx (two thin
+    # matmuls; the earlier per-block×cells membership matrix was a
+    # memory-bound matvec costing ~86 ms/frame at 512³).
+    #   * active: any-foreground via M = fg-max over fine cells,
+    #     vetoed when fewer than views_threshold cameras hit;
+    #   * full: all-foreground via M = 1 − fg-min, plus the static
+    #     all-projections-valid flag — then every voxel counts C views
+    #     and the kernel emits occupancy without computing.
     allv: jnp.ndarray = None  # (nsuper, nsub) i32
     ry: jnp.ndarray = None  # (C, nsuper*nsub, hf_pad) bf16 row spans
     rx: jnp.ndarray = None  # (C, nsuper*nsub, wf_pad) bf16 col spans
     n_fcells_hw: Tuple[int, int] = (0, 0)  # fine-cell grid (hf, wf)
-    cell: int = CELL  # activity-cell pixel size (coarser for huge grids)
     # host-side: canonical voxel index of each (superblock, sub, voxel) slot
     perm: np.ndarray = dataclasses.field(
         default=None, compare=False, hash=False
@@ -136,7 +132,6 @@ def build_block_tables(
     sup: Tuple[int, int, int] = (2, 2, 4),
     color_camera: int = 1,
     accelerate: bool = False,
-    cell: int = CELL,
 ) -> BlockTables:
     """Host-side precompute of all static kernel tables.
 
@@ -175,12 +170,7 @@ def build_block_tables(
     ix_color = None
     valid_color = None
 
-    hc = -(-H // cell)
-    wc = -(-W // cell)
-    n_cells = hc * wc
-    n_cells_p = _ceil_to(n_cells, LANE)
     nblk = nsuper * nsub
-    cell_mat = np.zeros((C, nblk, hc, wc), dtype=np.int8)
     hf = -(-H // FCELL)
     wf = -(-W // FCELL)
     hf_p = _ceil_to(hf, LANE)
@@ -226,24 +216,12 @@ def build_block_tables(
         need_wh = max(need_wh, int((ymax - v0).max()) + 1)
         vorig[:, :, c] = v0
 
-        # footprint-bbox → cell membership rows for the activity test,
-        # vectorized via a 2-D difference image + double cumsum (the
-        # per-block python rectangle fill is minutes at 512³)
+        # footprint-bbox → fine row/col span indicators (1-D difference
+        # image + cumsum; vectorized — a per-block python fill is minutes
+        # at 512³)
         xmin_c = np.where(any_v, np.where(valid_b, ix_b, 10**6).min(axis=2), 0)
         xmax_c = np.where(any_v, np.where(valid_b, ix_b, -1).max(axis=2), 0)
-        y0f, y1f = (ymin // cell).ravel(), (ymax // cell).ravel()
-        x0f, x1f = (xmin_c // cell).ravel(), (xmax_c // cell).ravel()
         bidx = np.flatnonzero(any_v.ravel())
-        diff = np.zeros((nblk, hc + 1, wc + 1), np.int8)
-        np.add.at(diff, (bidx, y0f[bidx], x0f[bidx]), 1)
-        np.add.at(diff, (bidx, y1f[bidx] + 1, x0f[bidx]), -1)
-        np.add.at(diff, (bidx, y0f[bidx], x1f[bidx] + 1), -1)
-        np.add.at(diff, (bidx, y1f[bidx] + 1, x1f[bidx] + 1), 1)
-        filled = np.cumsum(np.cumsum(diff, axis=1, dtype=np.int8),
-                           axis=2, dtype=np.int8)
-        cell_mat[c] = filled[:, :hc, :wc]
-
-        # fine row/col span indicators (1-D difference + cumsum)
         y0F, y1F = (ymin // FCELL).ravel(), (ymax // FCELL).ravel()
         x0F, x1F = (xmin_c // FCELL).ravel(), (xmax_c // FCELL).ravel()
         dy = np.zeros((nblk, hf_p + 1), np.int8)
@@ -272,9 +250,6 @@ def build_block_tables(
     uorig = u0.astype(np.int32).reshape(nsuper, nsub, 1)
     lcc = np.where(valid_color, ix_color, -1).astype(np.int32)
 
-    cell_flat = cell_mat.reshape(C, nsuper * nsub, n_cells)
-    cell_flat = np.pad(cell_flat, ((0, 0), (0, 0), (0, n_cells_p - n_cells)))
-
     return BlockTables(
         grid_shape=grid.shape,
         sub_shape=sub,
@@ -294,13 +269,10 @@ def build_block_tables(
         lcc=jnp.asarray(lcc),
         vorig=jnp.asarray(vorig),
         uorig=jnp.asarray(uorig),
-        cell_mat=jnp.asarray(cell_flat, dtype=jnp.bfloat16),
-        n_cells_hw=(hc, wc),
         allv=jnp.asarray(allv.astype(np.int32)),
         ry=jnp.asarray(ry, dtype=jnp.bfloat16),
         rx=jnp.asarray(rx, dtype=jnp.bfloat16),
         n_fcells_hw=(hf, wf),
-        cell=cell,
         perm=perm,
     )
 
@@ -474,58 +446,54 @@ def _blocked_to_canonical(x_blocked, sub, sup, nblocks):
     return x.transpose(inv).reshape((n,) + trailing)
 
 
-def _block_activity(masks, cell_mat, hc, wc, views_threshold, cell=CELL,
-                    allv=None, ry=None, rx=None):
+def _block_activity(masks, views_threshold, allv, ry, rx,
+                    compute_full: bool = True):
     """(C, H, W) u8 masks → per-sub-block (active, full) i32 flags.
 
-    Both conservative & exact:
+    Both conservative & exact, both via the factorized bbox→fine-cell
+    covering relation (see BlockTables):
       * active = 0 only when fewer than views_threshold cameras have any
-        foreground pixel inside the block's projected footprint bbox —
-        then no voxel can reach the threshold;
-      * full = 1 only when EVERY FCELL×FCELL fine cell covering the
-        footprint bbox is entirely foreground in EVERY camera AND every
-        projection is valid (static ``allv``) — then every voxel counts
-        C views, so the kernel can emit full occupancy without
-        computing.  The covering relation is axis-separable, so the
-        per-block hole count is the factorized bilinear form
-        ``ryᵀ·(1−fgmin)·rx`` — two thin matmuls instead of an
-        O(blocks·cells) membership matrix.  Hull interiors dominate
+        foreground pixel among the fine cells covering the block's
+        projected footprint bbox — then no voxel can reach the
+        threshold;
+      * full = 1 only when EVERY covering fine cell is entirely
+        foreground in EVERY camera AND every projection is valid (static
+        ``allv``) — then every voxel counts C views, so the kernel can
+        emit full occupancy without computing.  Hull interiors dominate
         active blocks at large grids.
     """
     C, H, W = masks.shape
-    fg = (masks > 0).astype(jnp.bfloat16)
-    fgp = jnp.pad(fg, ((0, 0), (0, hc * cell - H), (0, wc * cell - W)))
-    cells = jax.lax.reduce_window(
-        fgp, jnp.bfloat16(0), jax.lax.max,
-        (1, cell, cell), (1, cell, cell), "VALID",
-    ).reshape(C, hc * wc)
-    cells = jnp.pad(cells, ((0, 0), (0, cell_mat.shape[2] - hc * wc)))
-    counts = jnp.einsum(
-        "cbk,ck->cb", cell_mat, cells, preferred_element_type=jnp.float32
-    )
-    cam_any = (counts > 0).astype(jnp.int32)  # (C, nblk)
-    active = (cam_any.sum(axis=0) >= views_threshold).astype(jnp.int32)
-
-    if ry is None:
-        return active, jnp.zeros_like(active)
-
     hf_p, wf_p = ry.shape[2], rx.shape[2]
-    # fine-cell fg minima; padding (zeros) keeps border cells "not full"
+    fg = (masks > 0).astype(jnp.bfloat16)
+    # padding (zeros): border cells are never "full" (conservative) and
+    # contribute no foreground to the any-test
     fgf = jnp.pad(fg, ((0, 0), (0, hf_p * FCELL - H), (0, wf_p * FCELL - W)))
+    fmax = jax.lax.reduce_window(
+        fgf, jnp.bfloat16(0), jax.lax.max,
+        (1, FCELL, FCELL), (1, FCELL, FCELL), "VALID",
+    )  # (C, hf_p, wf_p)
     fmin = jax.lax.reduce_window(
         fgf, jnp.bfloat16(1), jax.lax.min,
         (1, FCELL, FCELL), (1, FCELL, FCELL), "VALID",
-    )  # (C, hf_p, wf_p)
-    holes_m = (jnp.bfloat16(1) - fmin)  # 1 where a fine cell has any bg
-    # holes[c, b] = Σ_i Σ_j ry[c,b,i]·holes_m[c,i,j]·rx[c,b,j]
-    h1 = jnp.einsum(
-        "cbi,cij->cbj", ry, holes_m, preferred_element_type=jnp.float32
     )
-    holes = jnp.sum(h1 * rx.astype(jnp.float32), axis=-1)  # (C, nblk)
+
+    def bilinear(M):
+        # out[c, b] = Σ_i Σ_j ry[c,b,i]·M[c,i,j]·rx[c,b,j]
+        h1 = jnp.einsum(
+            "cbi,cij->cbj", ry, M, preferred_element_type=jnp.float32
+        )
+        return jnp.sum(h1 * rx.astype(jnp.float32), axis=-1)  # (C, nblk)
+
+    hits = bilinear(fmax)
+    cam_any = (hits > 0).astype(jnp.int32)
+    active = (cam_any.sum(axis=0) >= views_threshold).astype(jnp.int32)
+
+    if not compute_full:
+        return active, jnp.zeros_like(active)
+    holes = bilinear(jnp.bfloat16(1) - fmin)
     cam_full = (holes == 0).astype(jnp.int32)
     full = (cam_full.sum(axis=0) == C).astype(jnp.int32)
-    if allv is not None:
-        full = full * allv.reshape(-1)
+    full = full * allv.reshape(-1)
     return active, full
 
 
@@ -540,7 +508,6 @@ def _carve_blocked_device(
     lcc,
     vorig,
     uorig,
-    cell_mat,
     allv,
     ry,
     rx,
@@ -551,12 +518,10 @@ def _carve_blocked_device(
     layout: str = "canonical",
 ):
     (C, nsuper, nsub, WH, WC, n_words, color_camera, sub, sup, nblocks,
-     Hp, Wc, hc, wc, cell) = tables_static
+     Hp, Wc) = tables_static
     packed_masks = pack_masks(masks, Hp=Hp, n_words=n_words)
     packed_img = pack_image(image, Hp=Hp, Wc=Wc)
-    active, full = _block_activity(
-        masks, cell_mat, hc, wc, views_threshold, cell, allv, ry, rx
-    )
+    active, full = _block_activity(masks, views_threshold, allv, ry, rx)
     active = active.reshape(nsuper, nsub, 1)
     full = full.reshape(nsuper, nsub, 1)
     kernel = _make_kernel(C, nsub, WH, WC, n_words, color_camera,
@@ -642,7 +607,6 @@ def carve_blocked(
         tables.lcc,
         tables.vorig,
         tables.uorig,
-        tables.cell_mat,
         tables.allv,
         tables.ry,
         tables.rx,
@@ -659,7 +623,6 @@ def tables_static_tuple(tables: BlockTables):
         tables.num_cameras, tables.nsuper, tables.nsub, tables.WH,
         tables.WC, tables.n_words, tables.color_camera, tables.sub_shape,
         tables.sup_shape, tables.nblocks, tables.Hp, tables.Wc,
-        tables.n_cells_hw[0], tables.n_cells_hw[1], tables.cell,
     )
 
 
@@ -912,14 +875,14 @@ def _make_counts_kernel(C, nsub, WH, NF, n_words, views_threshold):
 )
 def _carve_frames_device(
     masks,  # (NF, C, H, W) u8
-    pk, vorig, cell_mat, allv, ry, rx,
+    pk, vorig, allv, ry, rx,
     *,
     tables_static,
     views_threshold: int,
     interpret: bool = False,
 ):
     (C, nsuper, nsub, WH, WC, n_words, color_camera, sub, sup, nblocks,
-     Hp, Wc, hc, wc, cell) = tables_static
+     Hp, Wc) = tables_static
     NF = masks.shape[0]
     packed = pack_masks_frames(masks, Hp=Hp, n_words=n_words)
     # conservative union activity: a block is active if the per-frame
@@ -928,10 +891,9 @@ def _carve_frames_device(
     # every frame's count is exactly C for every voxel)
     union = jnp.max(masks, axis=0)
     inter = jnp.min(masks, axis=0)
-    active, _ = _block_activity(union, cell_mat, hc, wc, views_threshold,
-                                cell)
-    _, full = _block_activity(inter, cell_mat, hc, wc, views_threshold,
-                              cell, allv, ry, rx)
+    active, _ = _block_activity(union, views_threshold, allv, ry, rx,
+                                compute_full=False)
+    _, full = _block_activity(inter, views_threshold, allv, ry, rx)
     active = active.reshape(nsuper, nsub, 1)
     full = full.reshape(nsuper, nsub, 1)
     kernel = _make_counts_kernel(C, nsub, WH, NF, n_words, views_threshold)
@@ -998,7 +960,7 @@ def carve_frames_blocked(
     for start in range(0, F + pad, NF):
         occ_chunks.append(_carve_frames_device(
             masks[start : start + NF],
-            tables.pk, tables.vorig, tables.cell_mat, tables.allv,
+            tables.pk, tables.vorig, tables.allv,
             tables.ry, tables.rx,
             tables_static=static,
             views_threshold=views_threshold,
