@@ -219,3 +219,68 @@ class TestPallasTrainingKernel:
                 np.asarray(getattr(st_p, name)),
                 err_msg=name,
             )
+
+
+class TestCompressedFrozenApply:
+    """FrozenMOGState prefix compression must be decision-exact: the
+    frozen classification only depends on slots j < min(n_lead, k_fg)."""
+
+    def _random_state(self, rng, hw=(13, 17), K=12):
+        H, W = hw
+        # adversarial weights: random magnitudes, interior near-zeros
+        # (terminating the OpenCV slot scan early), some all-zero pixels
+        w = rng.uniform(0, 0.4, (H, W, K)).astype(np.float32)
+        kill = rng.uniform(size=(H, W, K)) < 0.3
+        w = np.where(kill, 0.0, w).astype(np.float32)
+        w[0, 0] = 0.0  # fully-empty pixel → everything foreground
+        mean = rng.uniform(0, 255, (H, W, K, 3)).astype(np.float32)
+        var = rng.uniform(1.0, 900.0, (H, W, K)).astype(np.float32)
+        import jax.numpy as jnp
+
+        return gmm.MOGState(
+            weight=jnp.asarray(w), mean=jnp.asarray(mean),
+            var=jnp.asarray(var), nframes=jnp.asarray(50, jnp.int32),
+        )
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_bitwise_equal_to_full_apply(self, seed):
+        rng = np.random.default_rng(seed)
+        params = MOGParams(n_mixtures=12, bg_ratio=0.8, use_hsv=False)
+        state = self._random_state(rng)
+        fz, ke = gmm.compress_frozen(state, params)
+        assert 1 <= ke <= 12
+        for _ in range(3):
+            frame = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+            full = np.asarray(gmm.apply_frozen(state, frame, params))
+            comp = np.asarray(gmm.apply_frozen_compressed(fz, frame))
+            np.testing.assert_array_equal(full, comp)
+
+    def test_trained_state_roundtrip(self):
+        frames = constant_frames(100, 60, jitter=2.0)
+        state = gmm.train_mog(frames, PARAMS)
+        fz, ke = gmm.compress_frozen(state, PARAMS)
+        assert ke < PARAMS.n_mixtures  # compression actually happens
+        probe = constant_frames(130, 1, jitter=40.0)[0]
+        full = np.asarray(gmm.apply_frozen(state, probe, PARAMS))
+        comp = np.asarray(gmm.apply_frozen_compressed(fz, probe))
+        np.testing.assert_array_equal(full, comp)
+
+    def test_stacked_batched_fz_matches_unbatched(self):
+        from vbr_tpu.pipelines import background
+
+        rng = np.random.default_rng(7)
+        params = MOGParams(n_mixtures=8, bg_ratio=0.75, use_hsv=False)
+        states = [self._random_state(rng, K=8) for _ in range(3)]
+        fz = background.stack_frozen(states, params)
+        frames = rng.integers(0, 256, (3, 13, 17, 3), dtype=np.uint8)
+        import jax.numpy as jnp
+        from vbr_tpu.utils.config import MaskParams
+
+        mp = tuple(MaskParams(opening_pre=False, closing_pre=False)
+                   for _ in range(3))
+        batched = np.asarray(background.raw_masks_batched_fz(
+            fz, jnp.asarray(frames), mp, False
+        ))
+        for c in range(3):
+            ref = np.asarray(gmm.apply_frozen(states[c], frames[c], params))
+            np.testing.assert_array_equal(batched[c], ref)

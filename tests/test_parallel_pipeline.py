@@ -30,7 +30,7 @@ def test_sharded_full_step_matches_reference(rig_cameras, golden_masks,
 
     step = pipeline_sharded.sharded_pipeline_step(mesh, views_threshold=4)
     args = pipeline_sharded.place_pipeline_inputs(
-        mesh, frames_b, weight, mean, var, 0.9, tables.valid, tables.lin_idx
+        mesh, frames_b, weight, mean, var, tables.valid, tables.lin_idx
     )
     occ = np.asarray(step(*args))
     assert occ.shape == (2, grid.num_voxels)
@@ -145,7 +145,7 @@ def test_sharded_step_occupancy_equals_single_device(rig_cameras):
         mesh, views_threshold=4, mog_params=p
     )
     args = pipeline_sharded.place_pipeline_inputs(
-        mesh, frames_b, weight, mean, var, p.bg_ratio,
+        mesh, frames_b, weight, mean, var,
         tables.valid, tables.lin_idx,
     )
     occ_sharded = np.asarray(step(*args))

@@ -101,9 +101,9 @@ class VisualHull:
         """
         if ccl_backend == "device":
             self._ensure_fast_state()
-            raw = background.raw_masks_batched(
-                self._stacked_bg, jnp.asarray(frames),
-                self._mask_params_t, self.mog_params[0],
+            raw = background.raw_masks_batched_fz(
+                self._stacked_fz, jnp.asarray(frames),
+                self._mask_params_t, self.mog_params[0].use_hsv,
             )
             cleaned, ovf = background.ccl.clean_masks_batched(
                 raw, self._fig_thresholds, self._inner_thresholds
@@ -155,8 +155,7 @@ class VisualHull:
         )
 
     def _ensure_fast_state(self):
-        if getattr(self, "_stacked_bg", None) is None:
-            self._stacked_bg = background.stack_states(self.bg_states)
+        if getattr(self, "_stacked_fz", None) is None:
             self._mask_params_t = tuple(self.mask_params)
             self._fig_thresholds = tuple(
                 float(p.figure_threshold) for p in self.mask_params
@@ -176,6 +175,7 @@ class VisualHull:
                         "cameras; got "
                         f"{[(q.bg_ratio, q.use_hsv, q.match_sigma) for q in self.mog_params]}"
                     )
+            self._stacked_fz = background.stack_frozen(self.bg_states, p0)
 
     def _ensure_btab(self):
         """Lazily build the Pallas carve tables (only the carve paths
@@ -224,14 +224,14 @@ class VisualHull:
         frames_d = jnp.asarray(frames)
         if carve_kernel == "pallas":
             occ, col, ovf = _full_step_pallas(
-                self._stacked_bg, frames_d,
+                self._stacked_fz, frames_d,
                 self._btab.pk,
                 self._btab.lcc, self._btab.vorig, self._btab.uorig,
                 self._btab.allv,
                 self._btab.ry, self._btab.rx,
                 btab_static=_btab_static(self._btab),
                 mask_params=self._mask_params_t,
-                mog_params=self.mog_params[0],
+                use_hsv=self.mog_params[0].use_hsv,
                 fig_thresholds=self._fig_thresholds,
                 inner_thresholds=self._inner_thresholds,
                 views_threshold=self.rig.views_threshold,
@@ -239,10 +239,10 @@ class VisualHull:
             )
         else:
             occ, col, ovf = _full_step_tables(
-                self._stacked_bg, frames_d,
+                self._stacked_fz, frames_d,
                 self.tables.valid, self.tables.lin_idx,
                 mask_params=self._mask_params_t,
-                mog_params=self.mog_params[0],
+                use_hsv=self.mog_params[0].use_hsv,
                 fig_thresholds=self._fig_thresholds,
                 inner_thresholds=self._inner_thresholds,
                 views_threshold=self.rig.views_threshold,
@@ -280,14 +280,14 @@ class VisualHull:
         def dispatch(frames):
             frames_d = jnp.asarray(frames)
             occ, col, ovf = _full_step_pallas(
-                self._stacked_bg, frames_d,
+                self._stacked_fz, frames_d,
                 self._btab.pk,
                 self._btab.lcc, self._btab.vorig, self._btab.uorig,
                 self._btab.allv,
                 self._btab.ry, self._btab.rx,
                 btab_static=_btab_static(self._btab),
                 mask_params=self._mask_params_t,
-                mog_params=self.mog_params[0],
+                use_hsv=self.mog_params[0].use_hsv,
                 fig_thresholds=self._fig_thresholds,
                 inner_thresholds=self._inner_thresholds,
                 views_threshold=self.rig.views_threshold,
@@ -336,14 +336,14 @@ class VisualHull:
 
         def dispatch(frames):
             wire = _full_step_pallas(
-                self._stacked_bg, jnp.asarray(frames),
+                self._stacked_fz, jnp.asarray(frames),
                 self._btab.pk,
                 self._btab.lcc, self._btab.vorig, self._btab.uorig,
                 self._btab.allv,
                 self._btab.ry, self._btab.rx,
                 btab_static=_btab_static(self._btab),
                 mask_params=self._mask_params_t,
-                mog_params=self.mog_params[0],
+                use_hsv=self.mog_params[0].use_hsv,
                 fig_thresholds=self._fig_thresholds,
                 inner_thresholds=self._inner_thresholds,
                 views_threshold=self.rig.views_threshold,
@@ -474,23 +474,24 @@ def _btab_static(t):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "btab_static", "mask_params", "mog_params", "fig_thresholds",
+        "btab_static", "mask_params", "use_hsv", "fig_thresholds",
         "inner_thresholds", "views_threshold", "layout",
     ),
 )
 def _full_step_pallas(
-    stacked_bg, frames, pk, lcc, vorig, uorig, allv, ry, rx, *,
-    btab_static, mask_params, mog_params, fig_thresholds, inner_thresholds,
+    stacked_fz, frames, pk, lcc, vorig, uorig, allv, ry, rx, *,
+    btab_static, mask_params, use_hsv, fig_thresholds, inner_thresholds,
     views_threshold, layout,
 ):
     """The whole per-frame pipeline as ONE device program:
-    HSV → frozen GMM apply → pre-morphology → Pallas CCL cleanup →
-    post-morphology → fused Pallas carve.  Returns (occ, colors, overflow).
+    HSV → compressed frozen GMM apply → pre-morphology → Pallas CCL
+    cleanup → post-morphology → fused Pallas carve.  Returns
+    (occ, colors, overflow).
     """
     from vbr_tpu.ops import carve_pallas
 
-    raw = background.raw_masks_batched.__wrapped__(
-        stacked_bg, frames, mask_params, mog_params
+    raw = background.raw_masks_batched_fz.__wrapped__(
+        stacked_fz, frames, mask_params, use_hsv
     )
     cleaned, ovf = background.ccl.clean_masks_batched.__wrapped__(
         raw, fig_thresholds, inner_thresholds
@@ -517,17 +518,17 @@ def _full_step_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mask_params", "mog_params", "fig_thresholds", "inner_thresholds",
+        "mask_params", "use_hsv", "fig_thresholds", "inner_thresholds",
         "views_threshold", "color_camera",
     ),
 )
 def _full_step_tables(
-    stacked_bg, frames, valid, lin_idx, *, mask_params, mog_params,
+    stacked_fz, frames, valid, lin_idx, *, mask_params, use_hsv,
     fig_thresholds, inner_thresholds, views_threshold, color_camera,
 ):
     """Single-program full step on the XLA table-carve path."""
-    raw = background.raw_masks_batched.__wrapped__(
-        stacked_bg, frames, mask_params, mog_params
+    raw = background.raw_masks_batched_fz.__wrapped__(
+        stacked_fz, frames, mask_params, use_hsv
     )
     cleaned, ovf = background.ccl.clean_masks_batched.__wrapped__(
         raw, fig_thresholds, inner_thresholds

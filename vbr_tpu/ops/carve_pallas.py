@@ -768,8 +768,16 @@ _PTS_CACHE = {}
 
 def _blocked_points_cache(tables: BlockTables, grid: GridConfig):
     # key on the values perm is derived from (id() of a dead array can be
-    # reused by a later allocation)
-    key = (grid.shape, tables.sub_shape, tables.sup_shape)
+    # reused by a later allocation); world extents must participate — two
+    # grids with equal voxel counts but different bounds have different
+    # voxel_points
+    key = (
+        grid.shape,
+        grid.x_min, grid.x_max,
+        grid.y_min, grid.y_max,
+        grid.z_min, grid.z_max,
+        tables.sub_shape, tables.sup_shape,
+    )
     if key not in _PTS_CACHE:
         # f32 + trunc precomputed: voxel coords are integer mm (reference
         # grid steps are whole mm), exact in f32 — halves host indexing cost

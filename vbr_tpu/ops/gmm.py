@@ -9,7 +9,11 @@ the frozen apply (lr = 0) is a single fused elementwise pass.
 
 The MOG model follows the Grimson/KaewTraKulPong algorithm as implemented
 by OpenCV bgsegm (process8uC3 in bgfg_gaussmix), reproduced operation-for-
-operation in f32 so masks agree with the C++ oracle bit-for-bit:
+operation in f32.  Masks agree with the C++ oracle bit-for-bit on
+stable-background / production-regime sequences (the full-data golden
+gates assert exact equality); on adversarial randomized-churn sequences
+residual bubble-edge sort ties leave ≥98.5% agreement (see
+tests/test_gmm.py oracle probes):
 
   * K mixtures per pixel: weight w, mean μ (3ch), per-channel variance v,
     and a *stored* sortKey (OpenCV keeps the key from the last time the
@@ -324,6 +328,73 @@ def apply_frozen(state: MOGState, frame: jnp.ndarray, params: MOGParams):
     k_fg = jnp.where(over.any(axis=-1), jnp.argmax(over, axis=-1) + 1, 0)
 
     is_bg = any_match & (first < k_fg)
+    return jnp.where(is_bg, jnp.uint8(0), jnp.uint8(255))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-compressed frozen apply (exact, ~6× less HBM traffic)
+# ---------------------------------------------------------------------------
+
+
+class FrozenMOGState(NamedTuple):
+    """Decision-sufficient compression of a frozen MOG model.
+
+    The frozen (lr = 0) classification of :func:`apply_frozen` is
+    ``background ⟺ ∃ slot j < min(n_lead, k_fg): ‖x−μⱼ‖² < 6.25·Σvⱼ``
+    (the first matching slot is automatically the minimal matching index,
+    so "first match below kForeground" ⟺ "any match below the per-pixel
+    bound B = min(n_lead, k_fg)").  Slots at index ≥ B can never affect
+    the mask, so we keep only the prefix of Ke = max_pixels(B) slots —
+    on the production rig B is small (bg_ratio 0.9 concentrates weight in
+    a few mixtures) while K = 50, cutting the per-frame state read from
+    ~1 GB to ~150 MB.  Bitwise-identical masks: the kept μ/thr values and
+    the d² arithmetic are unchanged (verified in tests/test_gmm.py).
+    """
+
+    mean: jnp.ndarray  # (..., Ke, 3) f32 — prefix of storage-order means
+    thr: jnp.ndarray  # (..., Ke) f32 — precomputed 6.25·Σv per slot
+    bcount: jnp.ndarray  # (...,) i32 — per-pixel decision-slot count B
+
+
+def compress_frozen(state: MOGState, params: MOGParams,
+                    k_eff: int | None = None):
+    """MOGState → (FrozenMOGState, Ke).  ``k_eff`` forces the prefix
+    length (for cross-camera batching); default = max over pixels."""
+    w = state.weight
+    K = w.shape[-1]
+    invalid = w < FLT_EPSILON
+    n_lead = jnp.where(invalid.any(axis=-1), jnp.argmax(invalid, axis=-1), K)
+    cumw = jnp.cumsum(w, axis=-1)
+    over = cumw > np.float32(params.bg_ratio)
+    k_fg = jnp.where(over.any(axis=-1), jnp.argmax(over, axis=-1) + 1, 0)
+    bcount = jnp.minimum(n_lead, k_fg).astype(jnp.int32)
+    if k_eff is None:
+        k_eff = max(int(np.asarray(jnp.max(bcount))), 1)
+    vt = np.float32(params.match_sigma**2)
+    return (
+        FrozenMOGState(
+            mean=state.mean[..., :k_eff, :],
+            thr=vt * state.var[..., :k_eff],
+            bcount=bcount,
+        ),
+        k_eff,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def apply_frozen_compressed(fz: FrozenMOGState, frame: jnp.ndarray):
+    """Frozen inference on the compressed prefix — masks bitwise equal to
+    :func:`apply_frozen` on the full state (see FrozenMOGState)."""
+    x = frame.astype(jnp.float32)
+    diff = x[..., None, :] - fz.mean
+    d2 = (
+        diff[..., 0] * diff[..., 0]
+        + diff[..., 1] * diff[..., 1]
+        + diff[..., 2] * diff[..., 2]
+    )
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, fz.thr.shape, fz.thr.ndim - 1)
+    matched = (k_idx < fz.bcount[..., None]) & (d2 < fz.thr)
+    is_bg = matched.any(axis=-1)
     return jnp.where(is_bg, jnp.uint8(0), jnp.uint8(255))
 
 

@@ -29,7 +29,6 @@ def sharded_pipeline_step(mesh: Mesh, *, views_threshold: int = 4,
     Signature:
         step(frames_hsv (F, C, H, W, 3) u8,
              weight (C, H, W, K), mean (C, H, W, K, 3), var (C, H, W, K),
-             bg_ratio (),
              valid (C, N) bool, lin_idx (C, N) i32)
           -> occupancy (F, N) bool
 
@@ -38,14 +37,13 @@ def sharded_pipeline_step(mesh: Mesh, *, views_threshold: int = 4,
     the carve stage — no resharding between stages.  The GMM apply is the
     REAL production `gmm.apply_frozen` (MOGState.var = channel-summed
     variance, OpenCV break-at-first-empty prefix and kForeground
-    conventions) so sharded masks match the single-chip path; ``bg_ratio``
-    is accepted for signature compatibility but the gate parameters come
-    from ``mog_params`` (static), like everywhere else.
+    conventions) so sharded masks match the single-chip path; all gate
+    parameters (incl. ``bg_ratio``) come from ``mog_params`` (static),
+    like everywhere else.
     """
 
-    def _local(frames, weight, mean, var, bg_ratio, valid, lin_idx):
+    def _local(frames, weight, mean, var, valid, lin_idx):
         f, c, H, W, _ = frames.shape
-        del bg_ratio  # bg_ratio lives in mog_params (static)
 
         def apply_one(frame, w, mu, v):
             state = gmm_ops.MOGState(
@@ -90,7 +88,6 @@ def sharded_pipeline_step(mesh: Mesh, *, views_threshold: int = 4,
             P("cam", None, None, None),  # weight
             P("cam", None, None, None, None),  # mean
             P("cam", None, None, None),  # var
-            P(),  # bg_ratio
             P("cam", "grid"),  # valid
             P("cam", "grid"),  # lin_idx
         ),
@@ -100,7 +97,7 @@ def sharded_pipeline_step(mesh: Mesh, *, views_threshold: int = 4,
     return jax.jit(mapped)
 
 
-def place_pipeline_inputs(mesh, frames_hsv, weight, mean, var, bg_ratio,
+def place_pipeline_inputs(mesh, frames_hsv, weight, mean, var,
                           valid, lin_idx):
     put = lambda x, spec: jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
     return (
@@ -108,7 +105,6 @@ def place_pipeline_inputs(mesh, frames_hsv, weight, mean, var, bg_ratio,
         put(weight, P("cam", None, None, None)),
         put(mean, P("cam", None, None, None, None)),
         put(var, P("cam", None, None, None)),
-        put(jnp.float32(bg_ratio), P()),
         put(valid, P("cam", "grid")),
         put(lin_idx, P("cam", "grid")),
     )

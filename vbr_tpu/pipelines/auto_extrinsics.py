@@ -417,7 +417,14 @@ def photometric_refine(
         R = rodr(rv)
         Rt_t = R.T @ tv
         rd = dirs @ R  # row i = R^T dir_i
-        lam = Rt_t[2] / rd[:, 2]
+        # guard near-edge-on rays (rd_z ≈ 0): an unclamped division yields
+        # inf/NaN u,v whose residual·w product is NaN·0 = NaN, poisoning
+        # the whole loss; clamping pushes such pixels far off-board where
+        # the window mask w zeroes them with finite values
+        rdz = rd[:, 2]
+        rdz = jnp.where(jnp.abs(rdz) < 1e-6,
+                        jnp.where(rdz < 0, -1e-6, 1e-6), rdz)
+        lam = Rt_t[2] / rdz
         Xb = lam[:, None] * rd - Rt_t[None, :]
         u = Xb[:, 0] / square_mm + 1.0
         v = Xb[:, 1] / square_mm + 1.0

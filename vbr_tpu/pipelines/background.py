@@ -165,6 +165,56 @@ def stack_states(states: Sequence[gmm.MOGState]) -> gmm.MOGState:
     )
 
 
+def stack_frozen(
+    states: Sequence[gmm.MOGState], params: MOGParams
+) -> gmm.FrozenMOGState:
+    """Per-camera frozen states → one prefix-compressed stacked state.
+
+    All cameras share the max prefix length so the apply batches as one
+    (C, H, W, Ke) program; masks stay bitwise equal to the full-state
+    apply (gmm.FrozenMOGState).
+    """
+    k_eff = 1
+    for s in states:
+        _, ke = gmm.compress_frozen(s, params)
+        k_eff = max(k_eff, ke)
+    fzs = [gmm.compress_frozen(s, params, k_eff=k_eff)[0] for s in states]
+    return gmm.FrozenMOGState(
+        mean=jnp.stack([f.mean for f in fzs]),
+        thr=jnp.stack([f.thr for f in fzs]),
+        bcount=jnp.stack([f.bcount for f in fzs]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mask_params", "use_hsv"))
+def raw_masks_batched_fz(
+    fz: gmm.FrozenMOGState,  # stacked, leading camera axis
+    frames: jnp.ndarray,  # (C, H, W, 3) u8 BGR
+    mask_params: tuple,  # per-camera MaskParams (static)
+    use_hsv: bool = True,
+) -> jnp.ndarray:
+    """One dispatch: HSV + compressed frozen apply + per-camera
+    pre-morphology.  Bitwise equal to :func:`raw_masks_batched` on the
+    uncompressed state, ~6× less HBM traffic (the production fast path)."""
+    hsv = jax.vmap(_color_ops.bgr_to_hsv_u8)(frames) if use_hsv else frames
+
+    def apply_cam(c):
+        raw = gmm.apply_frozen_compressed.__wrapped__(
+            gmm.FrozenMOGState(
+                mean=fz.mean[c], thr=fz.thr[c], bcount=fz.bcount[c]
+            ),
+            hsv[c],
+        )
+        mp = mask_params[c]
+        if mp.opening_pre:
+            raw = morphology.opening(raw, (3, 3))
+        if mp.closing_pre:
+            raw = morphology.closing(raw, (3, 3))
+        return raw
+
+    return jnp.stack([apply_cam(c) for c in range(frames.shape[0])])
+
+
 @functools.partial(jax.jit, static_argnames=("mask_params", "mog_params"))
 def raw_masks_batched(
     stacked: gmm.MOGState,
