@@ -51,8 +51,10 @@ def test_mog_parity_fast(small_seq):
 
     state = gmm.train_mog(bg, params)
     mask_jax = np.asarray(gmm.extract_mask(state, test, params))
-    iou = _iou(mask_cv > 0, mask_jax > 0)
-    assert iou >= 0.985, f"raw MOG IoU vs bgsegm oracle: {iou}"
+    # bit-perfect on the production-regime rig data, like the slow-marked
+    # full-data golden gate (r3: tightened from IoU >= 0.985 so a
+    # single-bit regression fails default CI)
+    np.testing.assert_array_equal(mask_jax > 0, mask_cv > 0)
 
 
 def test_mog2_parity_fast(small_seq):
@@ -126,3 +128,44 @@ def test_knn_parity_fast(small_seq):
     mask_jax = np.asarray(gmm.extract_mask_knn(state, test, params))
     iou = _iou(mask_cv > 0, mask_jax > 0)
     assert iou >= 0.95, f"raw KNN IoU vs cv2: {iou}"
+
+
+def test_cleaned_mask_pixel_identity_fast(small_seq):
+    """End-to-end mask pipeline vs a fully independent oracle chain,
+    pixel-identical (r3, VERDICT item 4): C++ bgsegm MOG + cv2
+    connectedComponents cleanup + cv2 morphology on one side; our
+    train_mog + frozen apply + batched device CCL + device morphology on
+    the other.  A single-bit regression anywhere in the mask pipeline
+    fails default CI."""
+    import cv2
+
+    from vbr_tpu.native import MOGOracle
+    from vbr_tpu.ops import ccl, gmm
+    from vbr_tpu.pipelines import background
+    from vbr_tpu.utils.config import MaskParams, MOGParams
+
+    bg, test = small_seq
+    # quarter-res: scale the area thresholds accordingly (both sides see
+    # the same values, so pixel-identity is still a bitwise gate)
+    mp = MaskParams(1250, 30, False, False, True, True)
+    params = MOGParams(history=bg.shape[0])
+
+    oracle = MOGOracle(history=bg.shape[0], nmixtures=50,
+                       background_ratio=0.9, noise_sigma=0)
+    for fr in bg:
+        oracle.apply(cv2.cvtColor(fr, cv2.COLOR_BGR2HSV), -1)
+    mask_cv = oracle.apply(cv2.cvtColor(test, cv2.COLOR_BGR2HSV), 0)
+    cleaned_cv = ccl.clean_mask_host(
+        mask_cv, mp.figure_threshold, mp.inner_threshold
+    )
+    k2 = np.ones((2, 2), np.uint8)
+    cleaned_cv = cv2.morphologyEx(cleaned_cv, cv2.MORPH_OPEN, k2)
+    cleaned_cv = cv2.morphologyEx(cleaned_cv, cv2.MORPH_CLOSE, k2)
+
+    state = gmm.train_mog(bg, params)
+    ours = np.asarray(
+        background.extract_foreground_mask(
+            state, test, mp, params, ccl_backend="device"
+        )
+    )
+    np.testing.assert_array_equal(ours > 0, cleaned_cv > 0)

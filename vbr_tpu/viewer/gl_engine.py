@@ -404,11 +404,20 @@ class Lines:
 class HDRPipeline:
     """RGB16F scene+bright framebuffer → ping-pong Gaussian bloom →
     exposure/gamma tonemap to the default framebuffer
-    (engine/buffer/hdrbuffer.py + effect/bloom.py equivalent)."""
+    (engine/buffer/hdrbuffer.py + effect/bloom.py equivalent).
 
-    def __init__(self, width: int, height: int, blur_passes: int = 10):
+    With ``samples > 1`` the scene renders into a multisampled twin FBO
+    (GL_TEXTURE_2D_MULTISAMPLE color attachments + multisampled depth
+    RBO) that is blit-resolved per attachment into the single-sample
+    textures before bloom/tonemap — the reference's
+    engine/buffer/hdrbuffer.py:38-70 finalize() path, sample count from
+    config.json ``sampling_level``."""
+
+    def __init__(self, width: int, height: int, blur_passes: int = 10,
+                 samples: int = 0):
         self.w, self.h = width, height
         self.blur_passes = blur_passes
+        self.samples = int(samples) if samples and samples > 1 else 0
         self.fbo = gl.glGenFramebuffers(1)
         gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
         self.tex_scene, self.tex_bright = gl.glGenTextures(2)
@@ -435,6 +444,41 @@ class HDRPipeline:
         gl.glFramebufferRenderbuffer(gl.GL_FRAMEBUFFER, gl.GL_DEPTH_ATTACHMENT,
                                      gl.GL_RENDERBUFFER, self.rbo)
         gl.glDrawBuffers(2, [gl.GL_COLOR_ATTACHMENT0, gl.GL_COLOR_ATTACHMENT1])
+
+        if self.samples:
+            # multisampled twin (scene renders here, blit-resolved into
+            # the single-sample FBO above)
+            self.fbo_ms = gl.glGenFramebuffers(1)
+            gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo_ms)
+            self.tex_ms = gl.glGenTextures(2)
+            for i in range(2):
+                gl.glBindTexture(gl.GL_TEXTURE_2D_MULTISAMPLE,
+                                 self.tex_ms[i])
+                gl.glTexImage2DMultisample(
+                    gl.GL_TEXTURE_2D_MULTISAMPLE, self.samples,
+                    gl.GL_RGB16F, width, height, gl.GL_TRUE,
+                )
+                gl.glFramebufferTexture2D(
+                    gl.GL_FRAMEBUFFER, gl.GL_COLOR_ATTACHMENT0 + i,
+                    gl.GL_TEXTURE_2D_MULTISAMPLE, self.tex_ms[i], 0,
+                )
+            self.rbo_ms = gl.glGenRenderbuffers(1)
+            gl.glBindRenderbuffer(gl.GL_RENDERBUFFER, self.rbo_ms)
+            gl.glRenderbufferStorageMultisample(
+                gl.GL_RENDERBUFFER, self.samples, gl.GL_DEPTH_COMPONENT24,
+                width, height,
+            )
+            gl.glFramebufferRenderbuffer(
+                gl.GL_FRAMEBUFFER, gl.GL_DEPTH_ATTACHMENT,
+                gl.GL_RENDERBUFFER, self.rbo_ms,
+            )
+            gl.glDrawBuffers(
+                2, [gl.GL_COLOR_ATTACHMENT0, gl.GL_COLOR_ATTACHMENT1]
+            )
+            status = gl.glCheckFramebufferStatus(gl.GL_FRAMEBUFFER)
+            if status != gl.GL_FRAMEBUFFER_COMPLETE:
+                # driver without multisample support: degrade gracefully
+                self.samples = 0
 
         # ping-pong blur buffers
         self.pp_fbo = gl.glGenFramebuffers(2)
@@ -465,8 +509,23 @@ class HDRPipeline:
         gl.glBindVertexArray(0)
 
     def bind_scene(self):
-        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
+        gl.glBindFramebuffer(
+            gl.GL_FRAMEBUFFER, self.fbo_ms if self.samples else self.fbo
+        )
         gl.glViewport(0, 0, self.w, self.h)
+
+    def _resolve_msaa(self):
+        """Blit both MS color attachments into the single-sample FBO
+        (reference hdrbuffer.finalize, engine/buffer/hdrbuffer.py:60-70)."""
+        gl.glBindFramebuffer(gl.GL_READ_FRAMEBUFFER, self.fbo_ms)
+        gl.glBindFramebuffer(gl.GL_DRAW_FRAMEBUFFER, self.fbo)
+        for i in range(2):
+            gl.glReadBuffer(gl.GL_COLOR_ATTACHMENT0 + i)
+            gl.glDrawBuffer(gl.GL_COLOR_ATTACHMENT0 + i)
+            gl.glBlitFramebuffer(0, 0, self.w, self.h, 0, 0, self.w, self.h,
+                                 gl.GL_COLOR_BUFFER_BIT, gl.GL_NEAREST)
+        gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
+        gl.glDrawBuffers(2, [gl.GL_COLOR_ATTACHMENT0, gl.GL_COLOR_ATTACHMENT1])
 
     def _draw_quad(self):
         gl.glBindVertexArray(self.quad_vao)
@@ -475,6 +534,8 @@ class HDRPipeline:
 
     def resolve(self, target_fbo: int = 0):
         """Bloom + tonemap into ``target_fbo`` (0 = window backbuffer)."""
+        if self.samples:
+            self._resolve_msaa()
         gl.glDisable(gl.GL_DEPTH_TEST)
         horizontal = True
         first = True
