@@ -157,12 +157,38 @@ def test_accelerated_block_tables_exact(rig_cameras):
         rig_cameras, g, (486, 644), sub=(8, 8, 8), sup=(2, 2, 2),
         accelerate=False,
     )
-    for name in ("pk", "lcc", "vorig", "uorig"):
+    for name in ("pk", "lcc", "vorig", "uorig", "allv"):
         np.testing.assert_array_equal(
             np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
             err_msg=name,
         )
+    for name in ("ry", "rx"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name), dtype=np.float32),
+            np.asarray(getattr(b, name), dtype=np.float32),
+            err_msg=name,
+        )
     assert (a.WH, a.WC, a.Hp, a.Wc) == (b.WH, b.WC, b.Hp, b.Wc)
+    assert a.n_fcells_hw == b.n_fcells_hw
+
+    # the chunked path (what a 512³ build exercises): tiny chunk_voxels
+    # forces multiple (camera, chunk) folds through the same buffers
+    c = carve_pallas.build_block_tables_device(
+        rig_cameras, g, (486, 644), sub=(8, 8, 8), sup=(2, 2, 2),
+        chunk_voxels=4096,
+    )
+    for name in ("pk", "lcc", "vorig", "uorig", "allv"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(c, name)), np.asarray(getattr(b, name)),
+            err_msg="chunked " + name,
+        )
+    for name in ("ry", "rx"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(c, name), dtype=np.float32),
+            np.asarray(getattr(b, name), dtype=np.float32),
+            err_msg="chunked " + name,
+        )
+    assert (c.WH, c.WC, c.Hp, c.Wc) == (b.WH, b.WC, b.Hp, b.Wc)
 
 
 def test_full_interior_blocks_exact(rig_cameras, first_frames):

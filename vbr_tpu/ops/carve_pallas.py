@@ -124,31 +124,13 @@ def _blocked_permutation(grid_shape, sub, sup):
     return perm, (gx, gy, gz)
 
 
-def build_block_tables(
-    cameras: Sequence[CameraParams],
-    grid: GridConfig,
-    image_hw: Tuple[int, int],
-    sub: Tuple[int, int, int] = (8, 8, 8),
-    sup: Tuple[int, int, int] = (2, 2, 4),
-    color_camera: int = 1,
-    accelerate: bool = False,
-) -> BlockTables:
-    """Host-side precompute of all static kernel tables.
-
-    ``accelerate`` switches the truncated projections to the
-    f32-on-device + f64-recheck scheme (bit-identical to pure f64 —
-    carve.exact_truncated_projections, tested).  It pays off on
-    co-located TPU hosts; over a narrow tunnel the 4×~170 MB index-plane
-    transfers make pure-f64 host math the faster default.  The build is
-    one-time per rig/grid (cacheable like the projection tables)."""
+def _check_block_geometry(grid, sub, sup, image_hw):
     H, W = image_hw
-    C = len(cameras)
     for n, s, p in zip(grid.shape, sub, sup):
         if n % (s * p) != 0:
             raise ValueError(f"grid dim {n} not divisible by {s}*{p}")
     if sub[0] * sub[1] * sub[2] != BV:
         raise ValueError("sub-block must contain exactly 512 voxels")
-
     if W // WORD_BITS >= 128:
         raise ValueError("word index must fit 7 bits (image width < 1024)")
     if H >= 1023:
@@ -156,6 +138,38 @@ def build_block_tables(
             "image height must be < 1023 (row 1023 is the packed-geometry "
             "invalid sentinel)"
         )
+
+
+def build_block_tables(
+    cameras: Sequence[CameraParams],
+    grid: GridConfig,
+    image_hw: Tuple[int, int],
+    sub: Tuple[int, int, int] = (8, 8, 8),
+    sup: Tuple[int, int, int] = (2, 2, 4),
+    color_camera: int = 1,
+    accelerate: bool | None = None,
+) -> BlockTables:
+    """Precompute of all static kernel tables (one-time per rig/grid).
+
+    ``accelerate=True`` routes to :func:`build_block_tables_device` —
+    the fully device-side build (f32 projection + f64 host recheck of
+    boundary-suspicious voxels only; bit-identical to pure f64, tested).
+    ``accelerate=False`` is the pure-f64 single-core host build (the
+    exactness oracle; ~21 min at 512³×8 on a one-core host).
+    ``accelerate=None`` (default) auto-selects: device build for grids
+    of ≥2²⁴ voxels (256³+), where the host build takes minutes, host
+    build below that (the small-grid host build is seconds and avoids
+    device compile latency)."""
+    if accelerate is None:
+        accelerate = int(np.prod(grid.shape)) >= (1 << 24)
+    if accelerate:
+        return build_block_tables_device(
+            cameras, grid, image_hw, sub=sub, sup=sup,
+            color_camera=color_camera,
+        )
+    H, W = image_hw
+    C = len(cameras)
+    _check_block_geometry(grid, sub, sup, image_hw)
 
     perm, nblocks = _blocked_permutation(grid.shape, sub, sup)
     nsuper, nsub, _ = perm.shape
@@ -180,21 +194,14 @@ def build_block_tables(
 
     need_wh = 8
     for c, cp in enumerate(cameras):
-        if accelerate:
-            from vbr_tpu.ops import carve as carve_mod
-
-            iy, ix, valid = carve_mod.exact_truncated_projections(
-                cp, grid, image_hw
-            )
-        else:
-            if pts is None:
-                pts = grid.voxel_points()  # canonical order, float64
-            uv = cam_ops.project_points(pts, cp.rvec, cp.tvec, cp.K,
-                                        cp.dist, xp=np)
-            x, y = uv[:, 0], uv[:, 1]
-            valid = (y >= 0) & (y < H) & (x >= 0) & (x < W)
-            iy = np.where(valid, np.trunc(y), 0).astype(np.int32)
-            ix = np.where(valid, np.trunc(x), 0).astype(np.int32)
+        if pts is None:
+            pts = grid.voxel_points()  # canonical order, float64
+        uv = cam_ops.project_points(pts, cp.rvec, cp.tvec, cp.K,
+                                    cp.dist, xp=np)
+        x, y = uv[:, 0], uv[:, 1]
+        valid = (y >= 0) & (y < H) & (x >= 0) & (x < W)
+        iy = np.where(valid, np.trunc(y), 0).astype(np.int32)
+        ix = np.where(valid, np.trunc(x), 0).astype(np.int32)
         iy_b = iy.astype(np.int32)[perm]
         ix_b = ix.astype(np.int32)[perm]
         valid_b = valid[perm]
@@ -272,6 +279,311 @@ def build_block_tables(
         allv=jnp.asarray(allv.astype(np.int32)),
         ry=jnp.asarray(ry, dtype=jnp.bfloat16),
         rx=jnp.asarray(rx, dtype=jnp.bfloat16),
+        n_fcells_hw=(hf, wf),
+        perm=perm,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device-side table build (no O(N) arrays cross the host↔device link)
+# ---------------------------------------------------------------------------
+
+_SUS_EPS = 2e-3  # ≫ observed f32 projection error (~1e-4 px at 644-px scale)
+_SUS_Z_EPS = 8.0  # mm of camera-frame depth below which f32 1/Xz blows up
+
+
+@functools.partial(jax.jit, static_argnames=("hw",))
+def _proj_suspicion_chunk(jxc, jy, jz, rvec, tvec, K, dist, hw):
+    """f32 truncated projection of an x-slab + boundary suspicion.
+
+    Same suspicion rules as ``carve.exact_truncated_projections`` (pixel
+    fraction band, bounds band, principal-plane depth band — ADVICE r1):
+    a voxel is *suspicious* iff f32 rounding could plausibly flip its
+    truncated index or validity; everything else is provably equal to
+    the f64 result.  Returns (iy, ix, valid) on device plus a packed
+    suspicion bitmap (the only O(chunk) host pull)."""
+    h, w = hw
+    gx, gy, gz = jnp.meshgrid(jxc, jy, jz, indexing="ij")
+    pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    uv = cam_ops.project_points(pts, rvec, tvec, K, dist, xp=jnp)
+    x, y = uv[:, 0], uv[:, 1]
+    fx = x - jnp.floor(x)
+    fy = y - jnp.floor(y)
+    R = cam_ops.rodrigues(rvec, xp=jnp)
+    depth = pts @ R[2, :] + tvec[2]
+    eps = _SUS_EPS
+    suspicious = (
+        (fx < eps) | (fx > 1 - eps) | (fy < eps) | (fy > 1 - eps)
+        | (jnp.abs(x) < eps) | (jnp.abs(x - w) < eps)
+        | (jnp.abs(y) < eps) | (jnp.abs(y - h) < eps)
+        | (jnp.abs(depth) < _SUS_Z_EPS)
+    )
+    valid = (y >= 0) & (y < h) & (x >= 0) & (x < w)
+    iy = jnp.where(valid, jnp.trunc(y), 0).astype(jnp.int32)
+    ix = jnp.where(valid, jnp.trunc(x), 0).astype(jnp.int32)
+    return iy, ix, valid, jnp.packbits(suspicious)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _apply_corrections(iy, ix, valid, sidx, iy_e, ix_e, valid_e):
+    """Scatter f64-rechecked values over the suspicious voxels.
+
+    ``sidx`` is padded to a bucket size with the out-of-bounds index N
+    (mode='drop' ignores those slots), so recompiles are bounded by the
+    number of distinct bucket sizes, not suspicious counts."""
+    iy = iy.at[sidx].set(iy_e, mode="drop")
+    ix = ix.at[sidx].set(ix_e, mode="drop")
+    valid = valid.at[sidx].set(valid_e, mode="drop")
+    return iy, ix, valid
+
+
+def build_block_tables_device(
+    cameras: Sequence[CameraParams],
+    grid: GridConfig,
+    image_hw: Tuple[int, int],
+    sub: Tuple[int, int, int] = (8, 8, 8),
+    sup: Tuple[int, int, int] = (2, 2, 4),
+    color_camera: int = 1,
+    chunk_voxels: int = 1 << 24,
+) -> BlockTables:
+    """Fully device-side block-table build, bit-identical to the f64 host
+    build (``accelerate=False``; equality is test-gated at 32³).
+
+    The pure-host build is minutes-per-camera at 512³ on a one-core host
+    (f64 projection of 1.3×10⁸ points), and the half-device variant that
+    pulls index planes to the host for packing moves 4×~540 MB across
+    the link.  Here *nothing* of size O(N) crosses the link in either
+    direction, and nothing of size O(N) beyond the result tables exists
+    on device (a flat 512³ build would hold ~10 half-GB projection
+    temporaries next to the 4.3 GB pk table and OOM a 16 GB chip) —
+    every step is chunked over the outermost superblock axis
+    (``chunk_voxels`` per piece):
+
+      * f32 projection + truncation on device; only a chunk/8-byte
+        packed suspicion bitmap is pulled;
+      * the suspicious set (boundary-band voxels, ~0.1-1 %) is
+        re-projected in f64 on host and scattered back (drop-mode
+        scatter, power-of-two bucket padding);
+      * blocking (a pure reshape/transpose), the packed-geometry word,
+        per-block row windows, activity spans, and color tables are all
+        computed on device; per-(camera, chunk) results land in donated
+        accumulator buffers via traced-index ``dynamic_update_slice``
+        (one compiled program for all cameras and chunks);
+      * only the static window scalars (WH/WC) are pulled.
+    """
+    H, W = image_hw
+    C = len(cameras)
+    _check_block_geometry(grid, sub, sup, image_hw)
+
+    perm, nblocks = _blocked_permutation(grid.shape, sub, sup)
+    nsuper, nsub, _ = perm.shape
+    n_words = _ceil_to(W, WORD_BITS) // WORD_BITS
+    nblk = nsuper * nsub
+    hf = -(-H // FCELL)
+    wf = -(-W // FCELL)
+    hf_p = _ceil_to(hf, LANE)
+    wf_p = _ceil_to(wf, LANE)
+    N = int(np.prod(grid.shape))
+    xs, ys, zs = grid.axis_ranges()
+    jy = jnp.asarray(ys.astype(np.float32))
+    jz = jnp.asarray(zs.astype(np.float32))
+
+    sbx, sby, sbz = sub
+    spx, spy, spz = sup
+    g = tuple(n // (s * p) for n, s, p in zip(grid.shape, sub, sup))
+    ny, nz = grid.shape[1], grid.shape[2]
+
+    # chunk the build over the outermost superblock axis: gx is the
+    # slowest-varying index of both the canonical order and the
+    # superblock order, so a gx-range is a contiguous slice of BOTH the
+    # flat voxel array and every (nsuper, ...) table — no O(N) array
+    # (and no >O(N/nchunks) temporary) ever exists on device or host
+    vox_per_gx = sbx * spx * ny * nz
+    cg = max(1, min(g[0], chunk_voxels // max(vox_per_gx, 1)))
+    while g[0] % cg:
+        cg -= 1
+    nchunks = g[0] // cg
+    nsuper_c = cg * g[1] * g[2]  # superblocks per chunk
+    x_per_chunk = cg * sbx * spx  # canonical x planes per chunk
+    Nc = x_per_chunk * ny * nz  # voxels per chunk
+
+    def to_blocked(a):
+        a = a.reshape(cg, spx, sbx, g[1], spy, sby, g[2], spz, sbz)
+        return a.transpose(0, 3, 6, 1, 4, 7, 2, 5, 8).reshape(
+            nsuper_c, nsub, BV
+        )
+
+    lanes_h = jnp.arange(hf_p, dtype=jnp.int32)
+    lanes_w = jnp.arange(wf_p, dtype=jnp.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7))
+    def blocked_update(iy, ix, valid, pk_buf, vorig_buf, allv_buf,
+                       ry_buf, rx_buf, c, so):
+        """Fold one (camera, chunk) into the accumulator tables.
+
+        ``c``/``so`` (camera, superblock offset) are traced scalars, so
+        all cameras and chunks share ONE compiled program."""
+        iy_b = to_blocked(iy)
+        ix_b = to_blocked(ix)
+        valid_b = to_blocked(valid)
+        row_f = jnp.where(valid_b, iy_b, 1023)
+        pk_c = (
+            (row_f << 10) | ((ix_b // WORD_BITS) << 3) | (ix_b % WORD_BITS)
+        ).astype(jnp.int32)
+        pk_buf = jax.lax.dynamic_update_slice(
+            pk_buf, pk_c[:, :, None, :], (so, 0, c, 0)
+        )
+        allv_c = jax.lax.dynamic_slice(
+            allv_buf, (so, 0), (nsuper_c, nsub)
+        ) & valid_b.all(axis=2)
+        allv_buf = jax.lax.dynamic_update_slice(allv_buf, allv_c, (so, 0))
+        any_v = valid_b.any(axis=2)
+        big = jnp.int32(10 ** 6)
+        ymin = jnp.where(any_v, jnp.where(valid_b, iy_b, big).min(axis=2), 0)
+        ymax = jnp.where(any_v, jnp.where(valid_b, iy_b, -1).max(axis=2), 0)
+        v0 = (ymin // 8) * 8
+        vorig_buf = jax.lax.dynamic_update_slice(
+            vorig_buf, v0[:, :, None].astype(jnp.int32), (so, 0, c)
+        )
+        whmax = jnp.max(ymax - v0) + 1
+        xmin = jnp.where(any_v, jnp.where(valid_b, ix_b, big).min(axis=2), 0)
+        xmax = jnp.where(any_v, jnp.where(valid_b, ix_b, -1).max(axis=2), 0)
+        nblk_c = nsuper_c * nsub
+        anyf = any_v.reshape(nblk_c, 1)
+        y0F = (ymin // FCELL).reshape(nblk_c, 1)
+        y1F = (ymax // FCELL).reshape(nblk_c, 1)
+        x0F = (xmin // FCELL).reshape(nblk_c, 1)
+        x1F = (xmax // FCELL).reshape(nblk_c, 1)
+        ry_c = (
+            anyf & (lanes_h[None, :] >= y0F) & (lanes_h[None, :] <= y1F)
+        ).astype(jnp.bfloat16)
+        rx_c = (
+            anyf & (lanes_w[None, :] >= x0F) & (lanes_w[None, :] <= x1F)
+        ).astype(jnp.bfloat16)
+        ry_buf = jax.lax.dynamic_update_slice(
+            ry_buf, ry_c[None], (c, so * nsub, 0)
+        )
+        rx_buf = jax.lax.dynamic_update_slice(
+            rx_buf, rx_c[None], (c, so * nsub, 0)
+        )
+        return pk_buf, vorig_buf, allv_buf, ry_buf, rx_buf, whmax
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def color_tables(ix, valid, lcc_buf, uorig_buf, so):
+        ix_b = to_blocked(ix)
+        valid_b = to_blocked(valid)
+        lcc_c = jnp.where(valid_b, ix_b, -1).astype(jnp.int32)
+        lcc_buf = jax.lax.dynamic_update_slice(lcc_buf, lcc_c, (so, 0, 0))
+        any_c = valid_b.any(axis=2)
+        big = jnp.int32(10 ** 6)
+        xmin = jnp.where(any_c, jnp.where(valid_b, ix_b, big).min(axis=2), 0)
+        xmax = jnp.where(any_c, jnp.where(valid_b, ix_b, -1).max(axis=2), 0)
+        u0 = (xmin // 64) * 64
+        uorig_buf = jax.lax.dynamic_update_slice(
+            uorig_buf, u0.astype(jnp.int32)[:, :, None], (so, 0, 0)
+        )
+        wcmax = jnp.max(xmax - u0) + 1
+        return lcc_buf, uorig_buf, wcmax
+
+    pk_buf = jnp.zeros((nsuper, nsub, C, BV), jnp.int32)
+    vorig_buf = jnp.zeros((nsuper, nsub, C), jnp.int32)
+    allv_buf = jnp.ones((nsuper, nsub), bool)
+    ry_buf = jnp.zeros((C, nblk, hf_p), jnp.bfloat16)
+    rx_buf = jnp.zeros((C, nblk, wf_p), jnp.bfloat16)
+    lcc_buf = jnp.zeros((nsuper, nsub, BV), jnp.int32)
+    uorig_buf = jnp.zeros((nsuper, nsub, 1), jnp.int32)
+    need_wh = 8
+    wc_need = 1
+
+    for c, cp in enumerate(cameras):
+        rvec_d = jnp.asarray(cp.rvec, jnp.float32)
+        tvec_d = jnp.asarray(cp.tvec, jnp.float32)
+        K_d = jnp.asarray(cp.K, jnp.float32)
+        dist_d = jnp.asarray(cp.dist, jnp.float32)
+        for ch in range(nchunks):
+            x0 = ch * x_per_chunk
+            jxc = jnp.asarray(
+                xs[x0 : x0 + x_per_chunk].astype(np.float32)
+            )
+            iyd, ixd, validd, sus_packed = _proj_suspicion_chunk(
+                jxc, jy, jz, rvec_d, tvec_d, K_d, dist_d, (H, W)
+            )
+            sus_idx = np.flatnonzero(
+                np.unpackbits(np.asarray(sus_packed))[:Nc]
+            )
+            if len(sus_idx):
+                # f64 recheck of the suspicious voxels only: world
+                # coords straight from the axis samples (no (N, 3)
+                # grid materialized)
+                gidx = sus_idx + x0 * ny * nz
+                pts64 = np.stack(
+                    [
+                        xs[gidx // (ny * nz)],
+                        ys[(gidx // nz) % ny],
+                        zs[gidx % nz],
+                    ],
+                    axis=-1,
+                )
+                uv_e = cam_ops.project_points(
+                    pts64, cp.rvec, cp.tvec, cp.K, cp.dist, xp=np
+                )
+                x_e, y_e = uv_e[:, 0], uv_e[:, 1]
+                valid_e = (y_e >= 0) & (y_e < H) & (x_e >= 0) & (x_e < W)
+                iy_e = np.where(valid_e, np.trunc(y_e), 0).astype(np.int32)
+                ix_e = np.where(valid_e, np.trunc(x_e), 0).astype(np.int32)
+                bucket = max(8, 1 << (len(sus_idx) - 1).bit_length())
+                pad = bucket - len(sus_idx)
+                sidx = np.concatenate(
+                    [sus_idx.astype(np.int64), np.full(pad, Nc, np.int64)]
+                ).astype(np.int32)
+                iyd, ixd, validd = _apply_corrections(
+                    iyd, ixd, validd,
+                    jnp.asarray(sidx),
+                    jnp.asarray(np.pad(iy_e, (0, pad))),
+                    jnp.asarray(np.pad(ix_e, (0, pad))),
+                    jnp.asarray(np.pad(valid_e, (0, pad))),
+                )
+            so = ch * nsuper_c
+            if c == color_camera:
+                lcc_buf, uorig_buf, wcm = color_tables(
+                    ixd, validd, lcc_buf, uorig_buf, so
+                )
+                wc_need = max(wc_need, int(wcm))
+            (pk_buf, vorig_buf, allv_buf, ry_buf, rx_buf,
+             whmax) = blocked_update(
+                iyd, ixd, validd, pk_buf, vorig_buf, allv_buf,
+                ry_buf, rx_buf, c, so,
+            )
+            need_wh = max(need_wh, int(whmax))
+            del iyd, ixd, validd
+
+    WH = _ceil_to(need_wh, 8)
+    Hp = _ceil_to(H, 8) + WH
+    WC = _ceil_to(wc_need, LANE)
+    Wc = _ceil_to(W, LANE) + WC
+
+    return BlockTables(
+        grid_shape=grid.shape,
+        sub_shape=sub,
+        sup_shape=sup,
+        nblocks=nblocks,
+        nsuper=nsuper,
+        nsub=nsub,
+        num_cameras=C,
+        image_hw=(H, W),
+        Hp=Hp,
+        n_words=n_words,
+        Wc=Wc,
+        WH=WH,
+        WC=WC,
+        color_camera=color_camera,
+        pk=pk_buf,
+        lcc=lcc_buf,
+        vorig=vorig_buf,
+        uorig=uorig_buf,
+        allv=allv_buf.astype(jnp.int32),
+        ry=ry_buf,
+        rx=rx_buf,
         n_fcells_hw=(hf, wf),
         perm=perm,
     )
