@@ -3,15 +3,18 @@
 BASELINE.json config 5 ("8-camera synthetic rig at 512³ streaming 30 fps,
 voxel-grid sharding across chips").  Measured on one tunneled v5e chip:
 
-  * blocked Pallas kernel w/ packed geometry tables: **256.7 ms/frame**,
-    bit-exact vs the XLA f64 table path (8,856,910 occupied voxels);
-    the XLA path takes 10.3 s/frame — 40×.
-  * 30 fps follows from the existing 8-way voxel-grid sharding
+  * blocked Pallas kernel w/ packed geometry tables: **124.1 ms/frame**
+    (r3), bit-exact vs the XLA f64 table path (8,856,910 occupied
+    voxels); the XLA path takes 10.3 s/frame — 83×.
+  * 30 fps follows from the existing voxel-grid sharding
     (parallel/carve_sharded; the carve has no cross-shard dependencies,
-    so ms/frame divides by the grid-shard count): 256.7 / 8 ≈ 32 ms.
+    so ms/frame divides by the grid-shard count, extrapolated):
+    124.1 / 8 ≈ 15.5 ms; 4-way already clears 30 fps.
 
-The one-time table build is host-bound (~21 min at 512³×8 on this
-single-core host; cacheable via --cache).  Usage:
+The one-time table build runs on device (r3,
+carve_pallas.build_block_tables_device, auto-selected at >=256³):
+167 s at 512³×8 on this tunneled single-core setup (was ~21 min
+pure-host f64), bit-identical; cacheable via --cache.  Usage:
 
     python scripts/bench_stretch512.py [--cache PATH.npz]
 """
