@@ -566,14 +566,18 @@ def train_mog(
     T, H, W, _ = frames.shape
     state = init_train_state((H, W), params)
     if backend == "auto":
-        # The fused Pallas kernel is 2-3.5× faster steady-state (the
-        # state tile stays in VMEM across the chunk) and bitwise equal,
-        # but its Mosaic compile (~5 min) does not persist across
-        # processes on tunneled/axon setups — a net loss for one-shot
-        # training.  Default to the persistently-cached XLA scan; pass
-        # backend="pallas" in long-lived services or where kernel
-        # caching works.
-        backend = "xla"
+        # The fused Pallas kernel (state tile resident in VMEM across a
+        # whole chunk) is 2-3.5× faster than the XLA scan and bitwise
+        # equal; its compile is ~2 s and persists in the jax compilation
+        # cache.  (r2 measured "~5 min compile, not persisted" — that was
+        # a misdiagnosis: the minutes were axon tunnel *session
+        # establishment*, paid by any first device op of a process,
+        # kernel or not.)  The kernel path does not emit per-frame
+        # training masks, so mask requests fall back to the XLA scan,
+        # as do non-TPU backends (Mosaic is TPU-only; the XLA scan is
+        # the same math and the CPU-mesh test/CI path).
+        on_tpu = jax.devices()[0].platform == "tpu"
+        backend = "pallas" if (on_tpu and not return_masks) else "xla"
     mask_parts = []
     for start in range(0, T, chunk):
         part = jnp.asarray(frames[start : start + chunk])
