@@ -427,9 +427,10 @@ def cmd_mesh(args):
     xs, ys, zs = grid.axis_ranges()
     spacing = (xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0])
     tris, n = mc.extract_mesh(
-        volume, origin=(xs[0], ys[0], zs[0]), spacing=spacing
+        volume, origin=(xs[0], ys[0], zs[0]), spacing=spacing,
+        algorithm=args.algorithm,
     )
-    print(f"marching tetrahedra: {n} triangles")
+    print(f"marching {args.algorithm}: {n} triangles")
     if args.obj:
         mc.write_obj(args.obj, tris)
         print(f"wrote {args.obj}")
@@ -599,6 +600,11 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--grid", type=int, default=128)
     p.add_argument("--obj", default="artifacts/hull.obj")
+    p.add_argument(
+        "--algorithm", choices=("tetrahedra", "cubes"), default="tetrahedra",
+        help="tetrahedra: ambiguity-free 6-tet decomposition; cubes: "
+        "classic 256-case marching cubes (skimage-parity, ~3x fewer tris)",
+    )
     p.set_defaults(fn=cmd_mesh)
 
     p = sub.add_parser("render")

@@ -413,14 +413,16 @@ class VisualHull:
         return carve_ops.compact_voxels(occ, col, self.grid,
                                         self.rig.scaling_factor)
 
-    def extract_surface(self, frames: np.ndarray, masks=None):
-        """Marching-tetrahedra mesh of the current hull, in world mm."""
+    def extract_surface(self, frames: np.ndarray, masks=None,
+                        algorithm: str = "tetrahedra"):
+        """Isosurface mesh of the current hull, in world mm
+        (``algorithm``: "tetrahedra" or classic 256-case "cubes")."""
         occ, _ = self.process_frame(frames, masks)
         volume = np.asarray(occ).reshape(self.grid.shape)
         xs, ys, zs = self.grid.axis_ranges()
         spacing = (xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0])
         return mc.extract_mesh(volume, origin=(xs[0], ys[0], zs[0]),
-                               spacing=spacing)
+                               spacing=spacing, algorithm=algorithm)
 
     # -- checkpointing ----------------------------------------------------
 

@@ -76,6 +76,157 @@ _CORNERS_J = jnp.asarray(_CORNERS.astype(np.float32))
 _TET_EDGES_J = jnp.asarray(_TET_EDGES)
 
 
+# ---------------------------------------------------------------------------
+# Classic 256-case marching cubes (algorithmic parity with the reference's
+# skimage.measure.marching_cubes call, voxel_reconstruction.py:142)
+# ---------------------------------------------------------------------------
+#
+# The 256-case triangle table is GENERATED here, not transcribed: for each
+# corner configuration, the cut points on each cube face are paired into
+# directed segments ("inside region on the left, viewed from outside the
+# cell"), the segments chain into closed loops, and each loop is fan-
+# triangulated.  The ambiguous face (two diagonal inside corners) uses the
+# fixed *separate-inside* rule; because the pairing depends only on the
+# shared face's corner states, adjacent cells always agree → the mesh is
+# watertight across cells (tested: closed-2-manifold + Euler checks).
+
+
+def _build_mc_tables():
+    """Generate (tri_table (256, MAXT, 3) edge ids, edge midpoints (12, 3)).
+
+    Corner index bit layout matches ``_CORNERS``: bit0=dx, bit1=dy, bit2=dz.
+    """
+    corners = np.array(
+        [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
+        np.float64,
+    )
+    edges = sorted(
+        (a, b)
+        for a in range(8)
+        for b in range(a + 1, 8)
+        if bin(a ^ b).count("1") == 1
+    )
+    eid = {e: i for i, e in enumerate(edges)}
+    mids = np.array(
+        [(corners[a] + corners[b]) / 2 for a, b in edges], np.float32
+    )
+
+    def face_corners(axis, side):
+        a1, a2 = [ax for ax in range(3) if ax != axis]
+        return [
+            (side << axis) | (b1 << a1) | (b2 << a2)
+            for b1, b2 in ((0, 0), (1, 0), (1, 1), (0, 1))
+        ]
+
+    tri_lists = []
+    for cfg in range(256):
+        inside = [(cfg >> i) & 1 for i in range(8)]
+        segs = {}
+        for axis in range(3):
+            for side in (0, 1):
+                n = np.zeros(3)
+                n[axis] = 1.0 if side == 1 else -1.0
+                cs = face_corners(axis, side)
+                fedges = [
+                    tuple(sorted((cs[k], cs[(k + 1) % 4]))) for k in range(4)
+                ]
+                cut = [
+                    k for k in range(4)
+                    if inside[cs[k]] != inside[cs[(k + 1) % 4]]
+                ]
+                ins = [k for k in range(4) if inside[cs[k]]]
+                if not cut:
+                    continue
+
+                def seg(k1, k2, ref_corner):
+                    e1, e2 = eid[fedges[k1]], eid[fedges[k2]]
+                    m1, m2 = mids[e1], mids[e2]
+                    left = np.cross(m2 - m1, corners[ref_corner] - m1)
+                    return (e1, e2) if np.dot(left, n) > 0 else (e2, e1)
+
+                if len(cut) == 2:
+                    a, b = seg(cut[0], cut[1], cs[ins[0]])
+                    segs[a] = b
+                else:  # ambiguous face: separate the diagonal inside pair
+                    for k in ins:
+                        a, b = seg((k - 1) % 4, k, cs[k])
+                        segs[a] = b
+        # every cut edge must appear exactly once as source and once as
+        # target — the direction convention chains across faces
+        assert sorted(segs) == sorted(segs.values()), cfg
+        tris = []
+        visited = set()
+        for start in sorted(segs):
+            if start in visited:
+                continue
+            loop = [start]
+            visited.add(start)
+            cur = segs[start]
+            while cur != start:
+                loop.append(cur)
+                visited.add(cur)
+                cur = segs[cur]
+            for i in range(1, len(loop) - 1):
+                tris.append((loop[0], loop[i], loop[i + 1]))
+        tri_lists.append(tris)
+
+    maxt = max(len(t) for t in tri_lists)
+    table = -np.ones((256, maxt, 3), np.int32)
+    for cfg, tris in enumerate(tri_lists):
+        for i, t in enumerate(tris):
+            table[cfg, i] = t
+
+    # orientation sanity at generation time: single-corner config's
+    # triangle normal must point away from the inside corner
+    t0 = table[1, 0]
+    v = mids[t0]
+    nrm = np.cross(v[1] - v[0], v[2] - v[0])
+    if np.dot(nrm, v.mean(0) - corners[0]) < 0:
+        table = table[:, :, ::-1]  # flip winding globally
+    return table, mids
+
+
+_MC_TABLE_NP, _MC_MIDS_NP = _build_mc_tables()
+_MC_MAXT = _MC_TABLE_NP.shape[1]
+_MC_TABLE_J = jnp.asarray(_MC_TABLE_NP)
+_MC_MIDS_J = jnp.asarray(_MC_MIDS_NP)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _emit_triangles_mc(volume, cell_idx, *, capacity: int):
+    """Classic-MC triangles for ``capacity`` active cells.
+
+    Returns (tris (capacity·MAXT, 3, 3) f32 voxel coords, valid mask)."""
+    vol = volume.astype(jnp.float32)
+    nx, ny, nz = volume.shape
+
+    def per_cell(flat_idx):
+        cz = flat_idx % (nz - 1)
+        cy = (flat_idx // (nz - 1)) % (ny - 1)
+        cx = flat_idx // ((nz - 1) * (ny - 1))
+        base = jnp.stack([cx, cy, cz])
+        vals = jnp.stack(
+            [
+                vol[base[0] + int(c[0]), base[1] + int(c[1]),
+                    base[2] + int(c[2])]
+                for c in _CORNERS
+            ]
+        )
+        cfg = jnp.sum(
+            (vals > 0.5).astype(jnp.int32) * (1 << jnp.arange(8)), axis=0
+        )
+        tri_edges = _MC_TABLE_J[cfg]  # (MAXT, 3)
+        valid = tri_edges[:, 0] >= 0
+        verts = (
+            _MC_MIDS_J[jnp.clip(tri_edges, 0, 11)]
+            + base[None, None, :].astype(jnp.float32)
+        )  # (MAXT, 3, 3)
+        return verts, valid
+
+    verts, valid = jax.vmap(per_cell)(cell_idx)
+    return verts.reshape(-1, 3, 3), valid.reshape(-1)
+
+
 @jax.jit
 def active_cells_mask(volume: jnp.ndarray) -> jnp.ndarray:
     """(nx-1, ny-1, nz-1) bool: cells whose 8 corners are not all equal."""
@@ -157,13 +308,24 @@ def extract_mesh(
     origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     capacity: int = 65536,
+    algorithm: str = "tetrahedra",
 ):
-    """Marching-tetrahedra mesh of a boolean (nx, ny, nz) volume.
+    """Isosurface mesh of a boolean (nx, ny, nz) volume.
+
+    ``algorithm="tetrahedra"`` (default) — 6-tet decomposition,
+    ambiguity-free; ``algorithm="cubes"`` — classic 256-case marching
+    cubes (algorithmic parity with the reference's skimage call,
+    voxel_reconstruction.py:142; ~2× fewer triangles, generated case
+    table, watertight via the separate-inside ambiguity rule).
 
     Returns (vertices (T, 3, 3) float32 world coords, n_triangles int).
     ``capacity`` caps the number of active cells per device pass; passes
     repeat until all active cells are consumed.
     """
+    if algorithm not in ("tetrahedra", "cubes"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    emit = _emit_triangles if algorithm == "tetrahedra" else _emit_triangles_mc
+    tris_per_cell = 12 if algorithm == "tetrahedra" else _MC_MAXT
     volume_d = jnp.asarray(volume)
     mask = np.asarray(active_cells_mask(volume_d)).reshape(-1)
     idx = np.flatnonzero(mask)
@@ -172,12 +334,12 @@ def extract_mesh(
         chunk = idx[start : start + capacity]
         padded = np.zeros(capacity, np.int64)
         padded[: len(chunk)] = chunk
-        verts, valid = _emit_triangles(
+        verts, valid = emit(
             volume_d, jnp.asarray(padded), capacity=capacity
         )
         verts = np.asarray(verts)
         valid = np.asarray(valid).copy()
-        valid[len(chunk) * 12 :] = False
+        valid[len(chunk) * tris_per_cell :] = False
         tris_out.append(verts[valid])
     if not tris_out:
         return np.zeros((0, 3, 3), np.float32), 0
