@@ -222,6 +222,34 @@ def cmd_calibrate(args):
                   f"wrote {out}/config.xml")
         return
 
+    if getattr(args, "method", "corners") == "photometric":
+        from vbr_tpu.pipelines import photometric_calibration as photo
+
+        for cam in cams:
+            video = os.path.join(args.data, f"cam{cam}", args.video)
+            res, views = photo.calibrate_video_photometric(
+                video, pattern=board, square_mm=square,
+                frame_step=args.frame_interval
+                if args.video == "checkerboard.avi" else 1,
+                iters=args.photometric_iters,
+            )
+            print(f"cam{cam}: {len(views)} views, photometric MSE "
+                  f"median {float(np.median(res.mse)):.0f}")
+            print(f"cam{cam}: fx={res.K[0,0]:.2f} fy={res.K[1,1]:.2f} "
+                  f"cx={res.K[0,2]:.2f} cy={res.K[1,2]:.2f} "
+                  f"dist={np.round(res.dist, 4)}")
+            out = os.path.join(args.out_dir, f"cam{cam}")
+            xmlio.save_camera_config(
+                out, res.K, res.dist, res.rvecs[0], res.tvecs[0],
+                filename="config.xml")
+            np.savez(os.path.join(out, "photometric_calib.npz"),
+                     K=res.K, dist=res.dist, rvecs=res.rvecs,
+                     tvecs=res.tvecs, mse=res.mse,
+                     frame_indices=res.frame_indices,
+                     loss_curve=res.loss_curve)
+            print(f"cam{cam}: wrote {out}/config.xml")
+        return
+
     for cam in cams:
         cam_dir = os.path.join(args.data, f"cam{cam}")
         video = os.path.join(cam_dir, args.video)
@@ -569,6 +597,14 @@ def main(argv=None):
     p.add_argument("--discard", action="store_true",
                    help="leave-one-out view discarding (reference "
                         "camera_calibration.py:522-563)")
+    p.add_argument("--method", choices=("corners", "photometric"),
+                   default="corners",
+                   help="intrinsics mode: 'corners' = per-frame saddle "
+                        "detection + LM (reference parity); 'photometric' "
+                        "= detector-free joint gradient fit of K/dist/"
+                        "poses on raw board pixels (robust to corner-"
+                        "level corruption, e.g. annotated audit videos)")
+    p.add_argument("--photometric-iters", type=int, default=3000)
     p.add_argument("--discard-threshold", type=float, default=0.15)
     p.add_argument("--no-auto", dest="auto", action="store_false",
                    default=True,

@@ -322,15 +322,23 @@ def orient_and_fit_homography(
             best = (score, Hq)
     _, H = best
 
-    # iterate: match centroids -> black-square centers, refit H undistorted
+    # iterate: match centroids -> black-square centers, refit H undistorted.
+    # Claim radii scale with the board's image pitch so the fit also works
+    # in RAW pixel coordinates (identity K, no intrinsics known yet — the
+    # intrinsic-calibration bootstrap path), where residual lens distortion
+    # leaves the quad-seeded H several pixels off mid-board.
     obs_u = _undist_px(centroids, K, dist)
     n_matched = 0
     for it in range(4):
         pred = cam_ops.apply_homography(H, black, xp=np)
+        p10 = cam_ops.apply_homography(
+            H, black + np.array([1.0, 0.0]), xp=np)
+        pitch = float(np.median(np.linalg.norm(p10 - pred, axis=1)))
         d = np.linalg.norm(obs_u[:, None, :] - pred[None, :, :], axis=-1)
         mi = d.argmin(1)
         md = d.min(1)
-        sel = md < (6.0 if it == 0 else 3.0)
+        sel = md < (max(6.0, 0.25 * pitch) if it == 0
+                    else max(3.0, 0.12 * pitch))
         n_matched = int(sel.sum())
         if n_matched >= 6:
             H = cam_ops.homography_dlt(black[mi[sel]], obs_u[sel], xp=np)

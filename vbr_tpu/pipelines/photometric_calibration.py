@@ -1,0 +1,757 @@
+"""Direct photometric intrinsic calibration from raw board video.
+
+Replaces the reference's corner-based intrinsic calibration
+(`camera_calibration.py:419-517`: findChessboardCorners + cornerSubPix per
+frame, then cv2.calibrateCameraExtended) with a detector-free, fully
+differentiable pipeline that estimates K, the 5-term distortion, and all
+board poses jointly by gradient descent on raw pixels:
+
+1. **View collection** — per frame, black board squares are found as
+   adaptive-threshold blobs over the whole image (no background model, no
+   board sheet segmentation), and the black-square *centroid lattice* (a
+   45-degree-rotated square lattice, basis (+1,+1)/(+1,-1) in pattern-square
+   coordinates) is grown homography-guided.  A frame is kept when >=
+   ``min_matched`` of the pattern's black squares fit the 9x7 diamond
+   window.  This survives image corruption at the inner corners — e.g. the
+   drawn corner overlay in the reference's ``intrinsics_imagepoints.mp4``
+   audit videos (the only real moving-board footage on this mount; the raw
+   intrinsics.avi files are LFS-stripped), which defeats both cv2's
+   cornerSubPix accuracy and saddle-point detectors.
+2. **Zhang init** — closed-form intrinsics from the per-frame
+   homographies (`pipelines/calibration.zhang_intrinsic_init`), poses from
+   H decomposition, distortion 0.
+3. **Joint photometric refinement** — render a separable blurred-checker
+   board model (`auto_extrinsics.photometric_refine`'s image formation) on
+   a fixed board-space sample grid, project the samples through the FULL
+   forward camera model (Rodrigues pose -> normalized -> 5-term polynomial
+   distortion -> K), bilinearly sample the observed de-overlayed grayscale
+   there, and Adam-descend the Huber photometric residual w.r.t.
+   intrinsics, distortion, all poses and per-frame nuisances (blur sigma,
+   gain, bias, linear shading) under a staged release schedule.  Forward
+   warping means the distortion polynomial is applied in its native
+   direction — no iterative undistortion inside the differentiated path.
+
+   Three design points were each measured to be load-bearing for an
+   unbiased fx (see the inline comments): blur sigma is fitted in PIXELS
+   and converted per sample through the local projection scale (a constant
+   board-space sigma is mismatched exactly along the fx*tz ambiguity
+   direction); the loss normalizes over a FIXED warm-start support with a
+   flat out-of-bounds penalty (an adaptive sum(w) denominator lets the
+   optimizer expel high-residual board-edge samples from the frame); and
+   nuisances settle before geometry is released (their settling transient
+   otherwise leaks a consistent spurious gradient into fx).
+
+The optimizer state lives on device; each Adam step is one fused XLA
+program over all frames (samples x frames is a dense f32 tensor — MXU/VPU
+friendly), so the whole refinement is a `lax.scan`, chunked to respect the
+tunnel's long-program limit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vbr_tpu.ops import camera as cam_ops
+
+_PATTERN = (8, 6)  # inner corners (cols, rows) -> 9x7 squares
+
+
+# ---------------------------------------------------------------------------
+# overlay suppression
+# ---------------------------------------------------------------------------
+
+def suppress_overlay(frame_bgr: np.ndarray, sat_thresh: float = 110.0,
+                     iters: int = 120) -> Tuple[np.ndarray, np.ndarray]:
+    """Mask saturated drawn annotations and harmonic-fill them in gray.
+
+    Returns (filled float32 gray, bool overlay mask).  Saturation
+    (max-min over BGR) isolates pure-color overlay strokes from the scene;
+    Jacobi iterations of a 3x3 box solve the Laplace equation over the
+    masked region.  Saddle-shaped checker corners are harmonic (x^2-y^2),
+    so small fills preserve corner structure; large fills (overlay discs
+    comparable to the square pitch) stay smooth and unbiased for the
+    *photometric* model, which is what the joint fit consumes.
+    """
+    f = frame_bgr.astype(np.float32)
+    sat = f.max(2) - f.min(2)
+    mask = sat > sat_thresh
+    # 3x3 dilation to catch anti-aliased stroke borders
+    m = mask
+    m = m | np.roll(m, 1, 0) | np.roll(m, -1, 0)
+    m = m | np.roll(m, 1, 1) | np.roll(m, -1, 1)
+    mask = m
+    # BT.601 luma, matching utils.imageproc/cv2 grayscale
+    g = (0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2])
+    filled = g.copy()
+    ys, xs = np.nonzero(mask)
+    if len(ys):
+        y0, y1 = ys.min(), ys.max() + 1
+        x0, x1 = xs.min(), xs.max() + 1
+        sub = filled[max(0, y0 - 2):y1 + 2, max(0, x0 - 2):x1 + 2]
+        smask = mask[max(0, y0 - 2):y1 + 2, max(0, x0 - 2):x1 + 2]
+        for _ in range(iters):
+            avg = _box3(sub)
+            sub[smask] = avg[smask]
+    return filled, mask
+
+
+def _box3(a: np.ndarray) -> np.ndarray:
+    p = np.pad(a, 1, mode="edge")
+    return (
+        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+        + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+    ) / 9.0
+
+
+# ---------------------------------------------------------------------------
+# black-square blob lattice (background-free, whole image)
+# ---------------------------------------------------------------------------
+
+def adaptive_dark_blobs(
+    gray: np.ndarray,
+    win: int = 63,
+    bias: float = 14.0,
+    area_range: Tuple[int, int] = (80, 6000),
+) -> np.ndarray:
+    """Centroids of dark blobs under a local-mean threshold.
+
+    The board's black squares are dark against their local neighborhood
+    (each square is surrounded by white), which a local-mean threshold
+    captures at any board distance/pose without a global board mask.
+    Blobs are filtered by area and bounding-box fill ratio.
+    """
+    g = gray.astype(np.float64)
+    mean = _box_mean(g, win)
+    dark = g < (mean - bias)
+    # 1-px 4-neighbour erosion: adjacent black squares touch only at
+    # corners, but blur/bloom can bridge them there — erosion separates
+    # the cores so the labeler sees one component per square
+    er = (dark
+          & np.roll(dark, 1, 0) & np.roll(dark, -1, 0)
+          & np.roll(dark, 1, 1) & np.roll(dark, -1, 1))
+    # label at half resolution (the host has one core), centroids full-res
+    from vbr_tpu.pipelines.auto_extrinsics import _label_host
+
+    labels2, n = _label_host(er[::2, ::2])
+    if n == 0:
+        return np.zeros((0, 2))
+    cents = []
+    areas2 = np.bincount(labels2.ravel())[1:]
+    lo, hi = area_range
+    w = np.maximum(mean - g, 0.0)
+    for i in range(1, n + 1):
+        a4 = areas2[i - 1] * 4
+        if not (lo * 0.5 <= a4 <= hi):  # erosion shrinks small squares
+            continue
+        ys2, xs2 = np.nonzero(labels2 == i)
+        y0, y1 = ys2.min() * 2, ys2.max() * 2 + 2
+        x0, x1 = xs2.min() * 2, xs2.max() * 2 + 2
+        bw, bh = x1 - x0, y1 - y0
+        if bw > 3 * bh or bh > 3 * bw:
+            continue
+        if a4 < 0.35 * bw * bh:  # stringy, not a filled square
+            continue
+        sub = er[y0:y1, x0:x1]
+        ww = w[y0:y1, x0:x1] * sub
+        tot = ww.sum()
+        if tot <= 0:
+            continue
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        cents.append([(xx * ww).sum() / tot, (yy * ww).sum() / tot])
+    return np.asarray(cents) if cents else np.zeros((0, 2))
+
+
+def _box_mean(a: np.ndarray, win: int) -> np.ndarray:
+    r = win // 2
+    p = np.pad(a, ((r + 1, r), (r + 1, r)), mode="edge")
+    ii = p.cumsum(0).cumsum(1)
+    H, W = a.shape
+    s = (ii[win:, win:] - ii[:-win, win:] - ii[win:, :-win]
+         + ii[:-win, :-win])
+    return s[:H, :W] / float(win * win)
+
+
+def _black_centers(pattern=_PATTERN) -> np.ndarray:
+    cols, rows = pattern
+    return np.array([(i + 0.5, j + 0.5) for i in range(cols + 1)
+                     for j in range(rows + 1) if (i + j) % 2 == 0],
+                    np.float64)
+
+
+def grow_black_lattice(
+    cents: np.ndarray,
+    pattern=_PATTERN,
+    min_matched: int = 20,
+) -> Optional[Tuple[np.ndarray, int]]:
+    """Fit H (pattern-square coords -> pixels) on black-square centroids.
+
+    Grows the 45-degree centroid lattice (basis (1,1)/(1,-1) in pattern
+    coords) homography-guided from density-ranked seeds, then finds the
+    placement of the pattern's black-square diamond (32 nodes for 9x7
+    squares) with maximum support.  Returns (H, n_matched) or None.
+
+    Orientation is resolved only up to the board's 180-degree symmetry,
+    which is irrelevant for intrinsics (the corner grid maps to itself).
+    """
+    N = len(cents)
+    cols, rows = pattern
+    black = _black_centers(pattern)
+    if N < min(10, len(black) // 2):
+        return None
+    d = np.linalg.norm(cents[:, None] - cents[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    d_sorted = np.sort(d, axis=1)
+    pitch = float(np.median(d_sorted[:, min(3, N - 1)]))
+    # density-ranked seeds: most neighbors within 1.6 pitch
+    dens = (d < 1.6 * pitch).sum(1)
+    order = np.argsort(-dens)
+
+    best = None
+    for seed in order[: min(8, N)]:
+        nn = np.argsort(d[seed])[:8]
+        vecs = [cents[j] - cents[seed] for j in nn
+                if 0.6 * pitch < d[seed, j] < 1.6 * pitch]
+        for a in range(len(vecs)):
+            for b in range(a + 1, len(vecs)):
+                va, vb = vecs[a], vecs[b]
+                cosang = abs(va @ vb) / (np.linalg.norm(va)
+                                         * np.linalg.norm(vb))
+                if cosang > 0.5:
+                    continue
+                got = _grow_assign(cents, d, seed, va, vb, pitch)
+                if got is None:
+                    continue
+                fit = _fit_diamond(cents, got, pattern)
+                if fit is not None and (best is None or fit[1] > best[1]):
+                    best = fit
+        if best is not None and best[1] >= len(black) - 2:
+            break
+    if best is None or best[1] < min_matched:
+        return None
+    return best
+
+
+def _grow_assign(cents, d, seed, v1, v2, pitch, tol_frac=0.3):
+    """Greedy homography-guided growth; returns {cand index: (p, q)}."""
+    assigned = {seed: (0, 0)}
+    used = {seed}
+    B = np.stack([v1, v2], axis=1)
+    Hm = None
+    changed = True
+    while changed:
+        changed = False
+        coords = np.array([assigned[i] for i in assigned], np.float64)
+        pos = cents[list(assigned.keys())]
+        if len(assigned) >= 6:
+            Hm = cam_ops.homography_dlt(coords, pos, xp=np)
+
+        def predict(c):
+            c = np.asarray(c, np.float64)
+            if Hm is not None:
+                return cam_ops.apply_homography(Hm, c[None], xp=np)[0]
+            return cents[seed] + B @ c
+
+        taken = set(assigned.values())
+        frontier = set()
+        for (cx, cy) in assigned.values():
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                cc = (cx + dx, cy + dy)
+                if cc not in taken:
+                    frontier.add(cc)
+        for cc in frontier:
+            p = predict(cc)
+            dists = np.linalg.norm(cents - p, axis=1)
+            dists[list(used)] = np.inf
+            j = int(dists.argmin())
+            if dists[j] < tol_frac * pitch:
+                assigned[j] = cc
+                used.add(j)
+                changed = True
+    return assigned if len(assigned) >= 8 else None
+
+
+def _fit_diamond(cents, assigned, pattern):
+    """Place the 9x7 black diamond over grown lattice coords; fit final H."""
+    cols, rows = pattern
+    nu, nv = cols + 1, rows + 1  # squares
+    idxs = list(assigned.keys())
+    pq = np.array([assigned[i] for i in idxs], np.int64)
+    best = None
+    # two basis orders x two sign flips = the 4 diamond orientations;
+    # pattern x = p+q+ox, y = p-q+oy (then swapped / negated variants)
+    for swap in (False, True):
+        for sgn in (1, -1):
+            p = pq[:, 1] if swap else pq[:, 0]
+            q = (pq[:, 0] if swap else pq[:, 1]) * sgn
+            x = p + q
+            y = p - q
+            # black centers have x+y even and sit at ((x..)+0.5); offsets
+            # shift by integers keeping parity: enumerate both parities
+            for ox in range(int(-x.min()) - 1, int(nu - x.max()) + 2):
+                for oy in range(int(-y.min()) - 1, int(nv - y.max()) + 2):
+                    bx = x + ox
+                    by = y + oy
+                    ok = ((bx >= 0) & (bx < nu) & (by >= 0) & (by < nv)
+                          & ((bx + by) % 2 == 0))
+                    support = int(ok.sum())
+                    if best is None or support > best[0]:
+                        best = (support, swap, sgn, ox, oy)
+    if best is None:
+        return None
+    support, swap, sgn, ox, oy = best
+    p = pq[:, 1] if swap else pq[:, 0]
+    q = (pq[:, 0] if swap else pq[:, 1]) * sgn
+    bx = p + q + ox
+    by = p - q + oy
+    nu, nv = pattern[0] + 1, pattern[1] + 1
+    ok = ((bx >= 0) & (bx < nu) & (by >= 0) & (by < nv)
+          & ((bx + by) % 2 == 0))
+    if ok.sum() < 8:
+        return None
+    src = np.stack([bx[ok] + 0.5, by[ok] + 0.5], -1).astype(np.float64)
+    dst = cents[np.asarray(idxs)[ok]]
+    H = cam_ops.homography_dlt(src, dst, xp=np)
+    # verify the fit is tight (rejects accidental lattices: floor mats etc)
+    pred = cam_ops.apply_homography(H, src, xp=np)
+    rms = float(np.sqrt(((pred - dst) ** 2).sum(-1).mean()))
+    p10 = cam_ops.apply_homography(H, src + [1.0, 0.0], xp=np)
+    pitch_px = float(np.median(np.linalg.norm(p10 - pred, axis=1)))
+    if rms > 0.12 * pitch_px:
+        return None
+    return H, int(ok.sum())
+
+
+# ---------------------------------------------------------------------------
+# view collection
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BoardView:
+    frame_idx: int
+    H: np.ndarray            # pattern-square coords -> raw pixels
+    n_matched: int
+    gray: np.ndarray         # de-overlayed float32 gray (full frame)
+    wmask: np.ndarray        # float32 weights (0 = overlay/invalid)
+    corners: np.ndarray      # H-predicted inner corners (cols*rows, 2)
+
+
+def board_view_from_frame(
+    frame_bgr: np.ndarray,
+    frame_idx: int = 0,
+    pattern=_PATTERN,
+    min_matched: int = 20,
+    deoverlay: bool = True,
+) -> Optional[BoardView]:
+    """Detect the board in one BGR frame; None when no lattice fits."""
+    cols, rows = pattern
+    inner = np.array([[x, y] for y in range(1, rows + 1)
+                      for x in range(1, cols + 1)], np.float64)
+    if deoverlay:
+        gray, om = suppress_overlay(frame_bgr)
+        wmask = 1.0 - om.astype(np.float32)
+    else:
+        f = frame_bgr.astype(np.float32)
+        gray = (0.114 * f[..., 0] + 0.587 * f[..., 1]
+                + 0.299 * f[..., 2])
+        wmask = np.ones(gray.shape, np.float32)
+    cents = adaptive_dark_blobs(gray)
+    got = grow_black_lattice(cents, pattern, min_matched=min_matched)
+    if got is None:
+        return None
+    H, nm = got
+    corners = cam_ops.apply_homography(H, inner, xp=np)
+    hh, ww = gray.shape
+    if (corners < -20).any() or (corners[:, 0] > ww + 20).any() \
+            or (corners[:, 1] > hh + 20).any():
+        return None
+    return BoardView(frame_idx, H, nm, gray.astype(np.float32),
+                     wmask, corners)
+
+
+def collect_board_views(
+    video_path: str,
+    pattern=_PATTERN,
+    frame_step: int = 1,
+    max_views: int = 64,
+    min_matched: int = 20,
+    deoverlay: bool = True,
+) -> List[BoardView]:
+    """Detect the board in each sampled frame of a calibration video."""
+    from vbr_tpu.utils import video as vio
+
+    views: List[BoardView] = []
+    for fi, frame in enumerate(vio.frame_iterator(video_path)):
+        if fi % frame_step:
+            continue
+        v = board_view_from_frame(frame, fi, pattern,
+                                  min_matched=min_matched,
+                                  deoverlay=deoverlay)
+        if v is None:
+            continue
+        views.append(v)
+        if len(views) >= max_views:
+            break
+    return views
+
+
+# ---------------------------------------------------------------------------
+# joint photometric calibration
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PhotoCalibResult:
+    K: np.ndarray
+    dist: np.ndarray
+    rvecs: np.ndarray        # (F, 3)
+    tvecs: np.ndarray        # (F, 3)
+    mse: np.ndarray          # (F,) final per-frame photometric MSE
+    frame_indices: np.ndarray
+    loss_curve: np.ndarray
+
+
+def _zhang_poses(views, image_shape, pattern, square_mm):
+    from vbr_tpu.pipelines import calibration as calib
+
+    # H maps pattern-square coords; Zhang wants metric board plane -> px.
+    # pattern coords (u,v) inner corners start at (1,1) <-> object (0,0)mm
+    S = np.array([[square_mm, 0, -square_mm],
+                  [0, square_mm, -square_mm],
+                  [0, 0, 1.0]])
+    Hs = [v.H @ np.linalg.inv(S) for v in views]
+    K0 = calib.zhang_intrinsic_init(Hs, image_shape)
+    poses = [calib.pose_from_homography(H, K0) for H in Hs]
+    return K0, poses
+
+
+def photometric_calibrate(
+    views: Sequence[BoardView],
+    image_shape: Tuple[int, int],
+    pattern=_PATTERN,
+    square_mm: float = 115.0,
+    samples_per_square: int = 12,
+    iters: int = 600,
+    chunk: int = 100,
+    huber_delta: float = 18.0,
+    fix_tangential: bool = False,
+    init: Optional[Tuple[np.ndarray, np.ndarray, list]] = None,
+    stages: Optional[Sequence[Tuple[int, str]]] = None,
+    pixel_sigma: bool = True,
+    oob_penalty: Optional[float] = None,
+) -> PhotoCalibResult:
+    """Jointly fit K, dist and every board pose photometrically.
+
+    ``image_shape`` is (width, height).  The Adam loop runs as `lax.scan`
+    chunks on the default JAX device; all frames are evaluated in one
+    program per step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cols, rows = pattern
+    nu, nv = cols + 1, rows + 1
+    F = len(views)
+    if F < 3:
+        raise ValueError(f"need >=3 views, got {F}")
+    W, Hh = image_shape
+
+    if init is None:
+        K0, poses = _zhang_poses(views, image_shape, pattern, square_mm)
+        dist0 = np.zeros(5)
+    else:
+        K0, dist0, poses = init
+
+    # board-space sample grid (shared by all frames), in square units
+    margin = 0.6
+    su = np.linspace(-margin, nu + margin,
+                     int((nu + 2 * margin) * samples_per_square))
+    sv = np.linspace(-margin, nv + margin,
+                     int((nv + 2 * margin) * samples_per_square))
+    uu, vv = np.meshgrid(su, sv, indexing="ij")
+    grid_uv = np.stack([uu.ravel(), vv.ravel()], -1)          # (S, 2)
+    S = len(grid_uv)
+    obj = np.concatenate(
+        [(grid_uv - 1.0) * square_mm, np.zeros((S, 1))], -1)  # (S, 3) mm
+
+    imgs = np.stack([v.gray for v in views])                  # (F, H, W)
+    wms = np.stack([v.wmask for v in views])
+
+    # parameter packing: [fx fy cx cy k1 k2 p1 p2 k3 | F*(rvec tvec) |
+    #                     F*(log_sigma a b gx gy)] — gx, gy are a linear
+    # shading field over the board (real boards are lit unevenly; without
+    # it the shading gradient leaks into the pose/distortion gradients)
+    p0 = np.concatenate(
+        [[K0[0, 0], K0[1, 1], K0[0, 2], K0[1, 2]], dist0]
+        + [np.concatenate([np.ravel(r), np.ravel(t)]) for r, t in poses]
+        + [np.array([np.log(0.8 if pixel_sigma else 0.10),
+                     float(v.gray.mean()),
+                     -float(np.percentile(v.gray, 85)
+                            - np.percentile(v.gray, 15)) / 2, 0.0, 0.0])
+           for v in views]
+    ).astype(np.float32)
+    # per-parameter Adam learning rates (units differ wildly)
+    lr = np.concatenate(
+        [[0.5, 0.5, 0.25, 0.25], [2e-3, 2e-3, 2e-4, 2e-4, 2e-3]]
+        + [np.array([1e-3] * 3 + [1.0] * 3)] * F
+        + [np.array([4e-3, 0.25, 0.25, 0.05, 0.05])] * F
+    ).astype(np.float32)
+    if fix_tangential:
+        lr[6:8] = 0.0
+
+    obj_j = jnp.asarray(obj, jnp.float32)
+    grid_uv_j = jnp.asarray(grid_uv, jnp.float32)
+    imgs_j = jnp.asarray(imgs, jnp.float32)
+    wms_j = jnp.asarray(wms, jnp.float32)
+
+    # Fixed per-(frame, sample) support: in-bounds at the WARM START.
+    # The loss below normalizes by this constant support and charges a
+    # flat out-of-bounds penalty, so the optimizer cannot shrink its own
+    # denominator.  (Measured failure without this: Adam drives k3/k1
+    # positive until the high-residual board-edge samples are expelled
+    # from the frame, the adaptive sum(w) normalizer collapses, and the
+    # "perfect" fit lands at fx 35% high with nonsense distortion.)
+    K_init, dist_init, poses_init = K0, np.asarray(dist0, np.float64), poses
+    winb0 = np.zeros((F, S), np.float32)
+    for i, (rv, tv) in enumerate(poses_init):
+        uv = cam_ops.project_points(obj, np.ravel(rv), np.ravel(tv),
+                                    K_init, dist_init, xp=np)
+        winb0[i] = ((uv[:, 0] > 1.0) & (uv[:, 0] < W - 2.0)
+                    & (uv[:, 1] > 1.0) & (uv[:, 1] < Hh - 2.0))
+    winb0_j = jnp.asarray(winb0)
+    # flat penalty for a support sample leaving the frame: the Huber cost
+    # of a ~100-intensity-unit misfit (full checker contrast)
+    oob_pen = (float(huber_delta * (2 * 100.0 - huber_delta))
+               if oob_penalty is None else float(oob_penalty))
+
+    def sqw(x, sig):
+        acc = 0.0
+        for k in (1, 3, 5, 7, 9, 11, 13, 15, 17, 19):
+            acc = acc + (4 / (k * jnp.pi)) * jnp.exp(
+                -0.5 * (k * jnp.pi * sig) ** 2) * jnp.sin(k * jnp.pi * x)
+        return acc
+
+    def rodr(rv):
+        th = jnp.linalg.norm(rv) + 1e-12
+        k = rv / th
+        Km = jnp.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                        [-k[1], k[0], 0]])
+        return (jnp.eye(3) + jnp.sin(th) * Km
+                + (1 - jnp.cos(th)) * (Km @ Km))
+
+    u_pat = grid_uv_j[:, 0]
+    v_pat = grid_uv_j[:, 1]
+    dedge = jnp.minimum(jnp.minimum(u_pat, nu - u_pat),
+                        jnp.minimum(v_pat, nv - v_pat))
+
+    def frame_residual(img, wm, sup, pose6, nuis, intr):
+        fx, fy, cx, cy, k1, k2, pt1, pt2, k3 = intr
+        R = rodr(pose6[:3])
+        Xc = obj_j @ R.T + pose6[3:6]                         # (S, 3)
+        z = jnp.maximum(Xc[:, 2], 1.0)                        # board is in
+        x = Xc[:, 0] / z                                      # front; clamp
+        y = Xc[:, 1] / z                                      # for safety
+        r2 = x * x + y * y
+        rad = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+        xd = x * rad + 2 * pt1 * x * y + pt2 * (r2 + 2 * x * x)
+        yd = y * rad + pt1 * (r2 + 2 * y * y) + 2 * pt2 * x * y
+        px = fx * xd + cx
+        py = fy * yd + cy
+        # bilinear sample of image and weight mask
+        px0 = jnp.clip(px, 0.0, W - 1.001)
+        py0 = jnp.clip(py, 0.0, Hh - 1.001)
+        ix = jnp.floor(px0).astype(jnp.int32)
+        iy = jnp.floor(py0).astype(jnp.int32)
+        ax = px0 - ix
+        ay = py0 - iy
+        def bil(a):
+            v00 = a[iy, ix]
+            v01 = a[iy, ix + 1]
+            v10 = a[iy + 1, ix]
+            v11 = a[iy + 1, ix + 1]
+            return ((1 - ay) * ((1 - ax) * v00 + ax * v01)
+                    + ay * ((1 - ax) * v10 + ax * v11))
+        I_obs = bil(img)
+        w_obs = bil(wm)
+        inb = ((px > 1.0) & (px < W - 2.0) & (py > 1.0)
+               & (py < Hh - 2.0)).astype(jnp.float32)
+        # Blur sigma is fitted in PIXELS and converted to board units per
+        # sample through the local projection scale.  A constant
+        # board-space sigma is the wrong model: true image blur (optics +
+        # sampling) is constant in pixel space, and under perspective the
+        # board-space equivalent varies with depth — that mismatch is
+        # maximally correlated with the fx*tz scaling direction and was
+        # measured to bias fx upward by ~40% on the synthetic fixture
+        # (photometric loss at ground truth had a strong d/dfx gradient).
+        if pixel_sigma:
+            pitch_px_sq = (jnp.sqrt(fx * fy) * square_mm) / z   # px/square
+            # local distortion scale: geometric mean of tangential (rad)
+            # and radial (d(r*rad)/dr) stretch
+            drad = rad + 2 * r2 * (k1 + 2 * k2 * r2 + 3 * k3 * r2 * r2)
+            pitch_px = pitch_px_sq * jnp.sqrt(jnp.abs(rad * drad) + 1e-6)
+            sig_px = jnp.exp(nuis[0])
+            sig = jnp.clip(sig_px / jnp.maximum(pitch_px, 1e-3),
+                           1e-4, 0.45)
+        else:
+            sig = jnp.exp(nuis[0])
+        a_lvl, b_lvl = nuis[1], nuis[2]
+        shade = 1.0 + nuis[3] * (u_pat / nu - 0.5) + nuis[4] * (v_pat / nv - 0.5)
+        prod = sqw(u_pat, sig) * sqw(v_pat, sig)
+        blend = 0.5 * (1 + jax.scipy.special.erf(
+            dedge / (jnp.sqrt(2.0) * sig)))
+        pat = blend * prod + (1 - blend) * (-1.0)
+        r = (shade * (a_lvl + b_lvl * pat) - I_obs)
+        w = w_obs * inb * sup
+        # Huber: robust to hands/specularities/unmasked overlay remnants
+        absr = jnp.abs(r)
+        hub = jnp.where(absr <= huber_delta, r * r,
+                        huber_delta * (2 * absr - huber_delta))
+        # constant denominator + flat out-of-bounds penalty over the fixed
+        # support (see winb0 above): support shrinkage is never profitable
+        denom = jnp.maximum(jnp.sum(sup), 1.0)
+        loss_f = (jnp.sum(hub * w)
+                  + oob_pen * jnp.sum(sup * (1.0 - inb))) / denom
+        mse_f = jnp.sum(r * r * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss_f, mse_f
+
+    def loss(params):
+        intr = params[:9]
+        pose = params[9:9 + 6 * F].reshape(F, 6)
+        nuis = params[9 + 6 * F:].reshape(F, 5)
+        hub, mse = jax.vmap(
+            lambda img, wm, sup, p6, nu3: frame_residual(
+                img, wm, sup, p6, nu3, intr)
+        )(imgs_j, wms_j, winb0_j, pose, nuis)
+        return jnp.mean(hub), mse
+
+    vg = jax.value_and_grad(loss, has_aux=True)
+
+    def _masked_lr(groups: str) -> np.ndarray:
+        if groups == "all":
+            return lr
+        mask = np.zeros_like(lr)
+        for g in groups.split(","):
+            g = g.strip()
+            if g == "intrinsics":
+                mask[0:4] = 1.0
+            elif g == "dist":
+                mask[4:9] = 1.0
+            elif g == "poses":
+                mask[9:9 + 6 * F] = 1.0
+            elif g == "nuisance":
+                mask[9 + 6 * F:] = 1.0
+            else:
+                raise ValueError(f"unknown stage group {g!r}")
+        return lr * mask
+
+    @jax.jit
+    def run_chunk(state, lr_vec, n_arr):
+        def adam_step(st, _):
+            p, m, v, t = st
+            (L, mse), g = vg(p)
+            m = 0.9 * m + 0.1 * g
+            v = 0.999 * v + 0.001 * g * g
+            t = t + 1.0
+            mh = m / (1 - 0.9 ** t)
+            vh = v / (1 - 0.999 ** t)
+            p = p - lr_vec * mh / (jnp.sqrt(vh) + 1e-8)
+            return (p, m, v, t), L
+
+        return jax.lax.scan(adam_step, state, n_arr)
+
+    # Staged freezing: the nuisances (blur/gain/bias/shading) start far
+    # from their optima, and their settling transient leaks a consistent
+    # spurious gradient into fx/fy (measured: ~0.4/step upward drift at
+    # the ground-truth geometry).  Settle cheap parameters first, release
+    # geometry after.  Adam moments reset at each stage boundary so stale
+    # momentum from a frozen group cannot kick on release.
+    if stages is None:
+        stages = [(iters, "all")]
+
+    import jax.numpy as jnp  # noqa: F811  (kept local for clarity)
+    params = jnp.asarray(p0)
+    losses = []
+    for n_stage, groups in stages:
+        if n_stage <= 0:
+            continue
+        lr_vec = jnp.asarray(_masked_lr(groups))
+        state = (params, jnp.zeros_like(params), jnp.zeros_like(params),
+                 jnp.asarray(0.0, jnp.float32))
+        done = 0
+        while done < n_stage:
+            n = min(chunk, n_stage - done)
+            state, Ls = run_chunk(state, lr_vec, jnp.zeros((n,)))
+            losses.append(np.asarray(Ls))
+            done += n
+        params = state[0]
+    state = (params, None, None, None)
+    p = np.asarray(state[0], np.float64)
+    _, mse = jax.jit(loss)(state[0])
+    mse = np.asarray(mse, np.float64)
+
+    K = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1.0]])
+    dist = p[4:9].copy()
+    pose = p[9:9 + 6 * F].reshape(F, 6)
+    return PhotoCalibResult(
+        K=K, dist=dist, rvecs=pose[:, :3].copy(), tvecs=pose[:, 3:].copy(),
+        mse=mse, frame_indices=np.array([v.frame_idx for v in views]),
+        loss_curve=np.concatenate(losses) if losses else np.zeros(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end video entry point
+# ---------------------------------------------------------------------------
+
+def calibrate_video_photometric(
+    video_path: str,
+    pattern=_PATTERN,
+    square_mm: float = 115.0,
+    frame_step: int = 1,
+    max_views: int = 48,
+    iters: int = 3000,
+    chunk: int = 500,
+    deoverlay: bool = True,
+    samples_per_square: int = 12,
+) -> Tuple[PhotoCalibResult, List[BoardView]]:
+    """Full intrinsic calibration of one video, detector-free.
+
+    Pipeline: blob-lattice view collection -> corner-LM warm start (the
+    H-predicted corners are homography-interpolated, so they carry no
+    usable distortion signal — the LM result is only an in-basin
+    initializer whose per-frame reprojection is ~1 px) -> joint
+    photometric refinement, which measures distortion from the actual
+    square-edge curvature.  Counterpart of the reference's per-frame
+    findChessboardCorners + calibrateCameraExtended loop
+    (camera_calibration.py:419-517,867-978).
+    """
+    from vbr_tpu.pipelines import calibration as calib
+    from vbr_tpu.utils import video as vio
+
+    views = collect_board_views(
+        video_path, pattern=pattern, frame_step=frame_step,
+        max_views=max_views, deoverlay=deoverlay)
+    if len(views) < 3:
+        raise ValueError(
+            f"only {len(views)} usable board views in {video_path}")
+    hh, ww = views[0].gray.shape
+    init_res = calib.calibrate_camera(
+        [v.corners.astype(np.float64) for v in views], (ww, hh),
+        pattern, square_mm)
+    poses = list(zip(init_res.rvecs, init_res.tvecs))
+    # staged release (see photometric_calibrate): nuisances settle first,
+    # then everything at once.  K must be free for the whole geometry
+    # stage — on the real rig the warm-start fx is ~20% high (H-predicted
+    # corners under strong distortion), and an ablation showed a K-frozen
+    # middle stage starves that correction (fx 577 vs 501 at equal
+    # iteration count on cam1, shipped 489).
+    n_nuis = min(400, iters // 6)
+    res = photometric_calibrate(
+        views, (ww, hh), pattern=pattern, square_mm=square_mm,
+        iters=iters, chunk=chunk, samples_per_square=samples_per_square,
+        init=(init_res.K, np.asarray(init_res.dist).reshape(-1)[:5].copy(),
+              poses),
+        stages=[(n_nuis, "nuisance"), (iters - n_nuis, "all")])
+    return res, views
