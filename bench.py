@@ -57,9 +57,34 @@ def _marginal_ms(step, iters, pairs=3):
     return marginal * 1e3, mean * 1e3
 
 
+def _devices_or_reexec(jax):
+    """Survive transient tunnel outages at session establishment.
+
+    The tunneled TPU backend can fail its first contact with UNAVAILABLE
+    (observed: axon session setup racing a recovering tunnel).  jax caches
+    a failed backend init process-wide, so an in-process retry is useless —
+    re-exec the interpreter with a bounded attempt counter instead."""
+    try:
+        return jax.devices()
+    except RuntimeError as e:
+        n = int(os.environ.get("VBR_BENCH_INIT_RETRY", "0"))
+        limit = int(os.environ.get("VBR_BENCH_INIT_RETRY_LIMIT", "4"))
+        if "UNAVAILABLE" not in str(e) or n >= limit:
+            raise
+        wait = 60 * (n + 1)
+        print(f"# backend init failed ({e}); retry {n + 1}/{limit} "
+              f"in {wait}s", file=sys.stderr)
+        time.sleep(wait)
+        os.environ["VBR_BENCH_INIT_RETRY"] = str(n + 1)
+        sys.stderr.flush()
+        sys.stdout.flush()
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     import jax
 
+    _devices_or_reexec(jax)
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
