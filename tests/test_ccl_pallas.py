@@ -50,6 +50,43 @@ class TestLabelerInterpret:
             assert all(v == 1 for v in c.values())
 
 
+class TestCombinedLabelerInterpret:
+    def test_matches_separate_labelings(self):
+        """Combined-phase labels == separate fg/bg labelings, exactly."""
+        rng = np.random.default_rng(3)
+        masks = np.stack([_noisy_mask(rng) for _ in range(2)]) > 0
+        comb = np.asarray(
+            ccl_pallas.label_components_combined(
+                jnp.asarray(masks.astype(np.int32)), interpret=True
+            )
+        )
+        for b in range(2):
+            for phase_img in (masks[b], ~masks[b]):
+                ref = np.asarray(
+                    ccl.label_components(jnp.asarray(phase_img))
+                )
+                got = np.where(phase_img, comb[b], 2**30)
+                np.testing.assert_array_equal(got, ref)
+
+    def test_checkerboard_worst_case(self):
+        """Every pixel its own component in both phases (max resets)."""
+        yy, xx = np.mgrid[:8, :128]
+        ph = ((yy + xx) % 2).astype(np.int32)
+        # single-pixel scan segments mean the min label travels one
+        # diagonal step per iteration: needs ~H+W iters, not the default
+        comb = np.asarray(
+            ccl_pallas.label_components_combined(
+                jnp.asarray(ph[None]), max_iters=256, interpret=True
+            )
+        )[0]
+        # 8-connectivity: same-phase diagonal neighbors DO merge, so each
+        # phase of a checkerboard is one big diagonal-connected component
+        lin = (yy * 128 + xx).astype(np.int32)
+        for val in (0, 1):
+            sel = ph == val
+            assert (comb[sel] == lin[sel].min()).all()
+
+
 class TestBatchedCleanup:
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_matches_host_cleanup(self, seed):
@@ -63,6 +100,19 @@ class TestBatchedCleanup:
         for c in range(3):
             ref = ccl.clean_mask_host(raw[c], fig[c], inner[c])
             np.testing.assert_array_equal(out[c], ref)
+
+    def test_cleanup_via_combined_kernel_interpret(self):
+        """End-to-end cleanup through the combined Pallas labeler path
+        (the TPU production route) matches the host oracle."""
+        rng = np.random.default_rng(7)
+        raw = _noisy_mask(rng)[None]
+        out, ovf = ccl.clean_masks_batched(
+            jnp.asarray(raw), (900.0,), (40.0,), interpret=True
+        )
+        assert not np.asarray(ovf).any()
+        np.testing.assert_array_equal(
+            np.asarray(out)[0], ccl.clean_mask_host(raw[0], 900.0, 40.0)
+        )
 
     def test_overflow_flag(self):
         # hundreds of isolated speckles (8-connectivity keeps them apart

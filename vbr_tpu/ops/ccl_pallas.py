@@ -101,6 +101,94 @@ def _make_label_kernel(H, W, max_iters):
     return kernel
 
 
+def _make_combined_kernel(H, W, max_iters):
+    """Kernel labeling BOTH phases of a binary image in one fixpoint.
+
+    Foreground and background are complementary, so one label image with
+    phase-aware segment resets labels every component of both in a single
+    while-loop: the four segmented scans are shared (half the scan work of
+    two separate labelings) and each image converges once, at
+    max(fg iters, bg iters) instead of their sum.  Orthogonal neighbor
+    merges are subsumed by the row/column scans (a same-phase left/right/
+    up/down neighbor is by definition in the same scan segment), so the
+    neighbor-min only needs the four diagonals.
+    """
+    diags = [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+
+    def kernel(ph_ref, out_ref):
+        ph = ph_ref[0]  # (H, W) i32 0/1 phase (1 = foreground)
+        ih = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        iw = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        labels0 = ih * W + iw
+
+        # loop-invariant: diagonal same-phase neighbor masks (i32 0/1) and
+        # per-direction segment resets (fill -1 differs from both phases,
+        # so image edges always reset)
+        ph_d = [_shift(ph, dy, dx, -1) for dy, dx in diags]
+        rst_row_f = (ph != _shift(ph, 0, 1, -1)).astype(jnp.int32)
+        rst_row_r = (ph != _shift(ph, 0, -1, -1)).astype(jnp.int32)
+        rst_col_f = (ph != _shift(ph, 1, 0, -1)).astype(jnp.int32)
+        rst_col_r = (ph != _shift(ph, -1, 0, -1)).astype(jnp.int32)
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < max_iters)
+
+        def body(state):
+            labels, _, it = state
+            nm = labels
+            for phs, (dy, dx) in zip(ph_d, diags):
+                sh = _shift(labels, dy, dx, BIG)
+                nm = jnp.minimum(nm, jnp.where(phs == ph, sh, BIG))
+            l2 = _seg_min_scan(nm, rst_row_f, axis=1, reverse=False)
+            l2 = _seg_min_scan(l2, rst_row_r, axis=1, reverse=True)
+            l2 = _seg_min_scan(l2, rst_col_f, axis=0, reverse=False)
+            l2 = _seg_min_scan(l2, rst_col_r, axis=0, reverse=True)
+            changed = jnp.any(l2 != labels)
+            return l2, changed, it + 1
+
+        labels, _, _ = lax.while_loop(
+            cond, body, (labels0, jnp.bool_(True), jnp.int32(0))
+        )
+        out_ref[0] = labels
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "interpret"))
+def label_components_combined(
+    phase: jnp.ndarray,  # (B, Hp, Wp) i32/bool; Hp % 8 == 0, Wp % 128 == 0
+    max_iters: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Label fg AND bg components of each image in ONE kernel program.
+
+    Returns (B, Hp, Wp) i32: every pixel carries the min padded linear
+    index of its own-phase 8-connected component (no BIG sentinel — every
+    pixel belongs to a component; mask by phase to recover the
+    label_components_batched convention).  Equivalent to labeling
+    ``[phase, ~phase]`` separately at roughly half the cost.
+    """
+    B, H, W = phase.shape
+    if H % 8 or W % 128:
+        raise ValueError("padded image dims must be multiples of (8, 128)")
+    phase = phase.astype(jnp.int32)
+    kernel = _make_combined_kernel(H, W, max_iters)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(phase)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters", "interpret"))
 def label_components_batched(
     fg: jnp.ndarray,  # (B, Hp, Wp) i32 or bool; Hp % 8 == 0, Wp % 128 == 0
