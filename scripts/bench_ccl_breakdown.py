@@ -73,6 +73,24 @@ def main():
     print(json.dumps({"stage": "label_batched_8imgs",
                       "ms": round(ms_label, 3)}))
 
+    # combined-phase kernel (the r3 production path): fg AND bg of each
+    # camera in one program — compare labels for exactness, then time
+    comb = ccl_pallas.label_components_combined(fg_p)
+    ref = np.asarray(ccl_pallas.label_components_batched(batch))
+    comb_h = np.asarray(comb)
+    fg_h = np.asarray(fg_p)
+    ok_f = (np.where(fg_h, comb_h, 2**30) == ref[:C]).all()
+    ok_b = (np.where(~fg_h, comb_h, 2**30) == ref[C:]).all()
+    print(json.dumps({"stage": "combined_exactness",
+                      "fg": bool(ok_f), "bg": bool(ok_b)}))
+
+    def step_combined():
+        return ccl_pallas.label_components_combined(fg_p)
+
+    ms_comb = marginal_ms(step_combined, sync1)
+    print(json.dumps({"stage": "label_combined_4imgs",
+                      "ms": round(ms_comb, 3)}))
+
     def step_full():
         return ccl.clean_masks_batched(
             raw_d, vh._fig_thresholds, vh._inner_thresholds)[0]
