@@ -327,6 +327,20 @@ def _compact_roots(lab_flat, k):
     return roots, count
 
 
+def _subselect_roots(roots, flags, k):
+    """First k entries of ``roots`` where ``flags``; -1 padded, + count.
+
+    Cheap (operates on the ≤kf/kb root table, not the image).  Labels are
+    linear indices ≥ 0, so -1 padding never matches a pixel label.
+    """
+    n = roots.shape[0]
+    cs = jnp.cumsum(flags.astype(jnp.int32))
+    count = cs[-1]
+    pos = jnp.searchsorted(cs, jnp.arange(1, k + 1, dtype=jnp.int32))
+    out = jnp.take(roots, jnp.clip(pos, 0, n - 1))
+    return jnp.where(jnp.arange(k) < count, out, -1), count
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -354,8 +368,14 @@ def clean_masks_batched(
         while-loop;
       * component statistics (areas, border contact, hole perimeter,
         kept-adjacency) use root compaction (cumsum + searchsorted) and
-        fused broadcast-compare reductions against ≤kf/kb root tables —
-        no 300k-element scatters anywhere.
+        fused broadcast-compare reductions — no 300k-element scatters
+        anywhere.  Only the fg area pass runs against the full kf-wide
+        root table; every other per-pixel question runs against a
+        SUBSELECTED table (kept figures ≤ k_keep, enclosed holes ≤
+        k_hole — both few on real masks), and the border-contact test
+        gathers the ~2.5k border/padding labels instead of reducing over
+        the image (the padding is one connected bg region, so a single
+        padding pixel represents all of it).
 
     Returns (cleaned (C, H, W) u8, overflow (C,) bool).  ``overflow[c]``
     is True when camera c had more than kf foreground or kb background
@@ -389,15 +409,28 @@ def clean_masks_batched(
         labs_f = jnp.where(fg_p, comb, BIG).reshape(C, Hp * Wp)
         labs_b = jnp.where(bg_p, comb, BIG).reshape(C, Hp * Wp)
 
-    # true-image border ∪ padding (bg components touching it are "outside")
-    bmask = jnp.zeros((Hp, Wp), bool)
-    bmask = bmask.at[0, :].set(True).at[H - 1, :].set(True)
-    bmask = bmask.at[:, 0].set(True).at[:, W - 1].set(True)
+    # The "outside" test only needs labels AT border/padding pixels, not a
+    # full-image compare: a bg component is outside iff it contains a
+    # true-border pixel or any padding pixel, and the padding (all bg by
+    # construction) is ONE connected region, so a single padding pixel
+    # represents all of it.  ~2.5k gathered labels instead of a
+    # (H·W × kb) masked reduce.
+    bidx = [np.arange(Wp),                         # row 0
+            (H - 1) * Wp + np.arange(Wp),          # row H-1
+            np.arange(Hp) * Wp,                    # col 0
+            np.arange(Hp) * Wp + (W - 1)]          # col W-1
     if Hp > H:
-        bmask = bmask.at[H:, :].set(True)
-    if Wp > W:
-        bmask = bmask.at[:, W:].set(True)
-    bmask = bmask.reshape(-1)
+        bidx.append(np.array([H * Wp]))            # one padding pixel
+    elif Wp > W:
+        bidx.append(np.array([W]))
+    bidx = jnp.asarray(
+        np.unique(np.concatenate(bidx)).astype(np.int32))
+
+    # kept figures and holes are FEW (production rig: ≤3 kept, ≤18 bg
+    # components total); every per-pixel question about them runs against
+    # a subselected root table instead of the full kf/kb-wide one
+    k_keep = min(16, kf)
+    k_hole = min(64, kb)
 
     outs = []
     overflows = []
@@ -407,10 +440,11 @@ def clean_masks_batched(
         roots_f, nf = _compact_roots(Lf, kf)
         roots_b, nb = _compact_roots(Lb, kb)
 
-        eq_f = Lf[:, None] == roots_f[None, :]  # fused compare-reduces
+        eq_f = Lf[:, None] == roots_f[None, :]  # fused compare-reduce
         areas_f = jnp.sum(eq_f, axis=0)
         keep_f = (areas_f >= fig_thresholds[c]) & (roots_f >= 0)
-        kept_px = jnp.any(eq_f & keep_f[None, :], axis=1)
+        kroots, nkeep = _subselect_roots(roots_f, keep_f, k_keep)
+        kept_px = jnp.any(Lf[:, None] == kroots[None, :], axis=1)
 
         kept_img = kept_px.reshape(Hp, Wp)
         kept_adj = lax.reduce_window(
@@ -419,12 +453,15 @@ def clean_masks_batched(
             padding=((1, 1), (1, 1)),
         ).reshape(-1) > 0
 
-        eq_b = Lb[:, None] == roots_b[None, :]
-        areas_b = jnp.sum(eq_b, axis=0)
-        outside_b = jnp.any(eq_b & bmask[:, None], axis=0)
-        hole_b = (roots_b >= 0) & ~outside_b
-        touch_b = jnp.any(eq_b & kept_adj[:, None], axis=0)
-        in_kept_hole = hole_b & touch_b
+        border_labels = jnp.take(Lb, bidx)  # fg border pixels are BIG
+        outside_b = jnp.any(
+            border_labels[:, None] == roots_b[None, :], axis=0)
+        hole_flags = (roots_b >= 0) & ~outside_b
+        hroots, nhole = _subselect_roots(roots_b, hole_flags, k_hole)
+        eq_h = Lb[:, None] == hroots[None, :]  # (HW, k_hole)
+        areas_b = jnp.sum(eq_h, axis=0)
+        touch_b = jnp.any(eq_h & kept_adj[:, None], axis=0)
+        in_kept_hole = (hroots >= 0) & touch_b
         # cv2.contourArea of a hole via 2×2 corner counting (see
         # clean_mask): A = pix + (c1 + 2·c2 + c3 + 2·cdiag)/4; block
         # contributions attributed to the min bg label in the block
@@ -447,7 +484,7 @@ def clean_masks_batched(
         )
         blmin = jnp.minimum(jnp.minimum(la, lb2), jnp.minimum(lc2, ld))
         corner4_b = jnp.sum(
-            jnp.where(blmin.reshape(-1)[:, None] == roots_b[None, :],
+            jnp.where(blmin.reshape(-1)[:, None] == hroots[None, :],
                       contrib4.reshape(-1)[:, None], 0),
             axis=0,
         )
@@ -456,10 +493,11 @@ def clean_masks_batched(
             + corner4_b.astype(jnp.float32) * 0.25
         )
         fill_b = in_kept_hole & (poly_area < inner_thresholds[c])
-        hole_white_px = jnp.any(eq_b & fill_b[None, :], axis=1)
+        hole_white_px = jnp.any(eq_h & fill_b[None, :], axis=1)
 
         out = (kept_px | hole_white_px).reshape(Hp, Wp)[:H, :W]
         outs.append(jnp.where(out, jnp.uint8(255), jnp.uint8(0)))
-        overflows.append((nf > kf) | (nb > kb))
+        overflows.append((nf > kf) | (nb > kb)
+                         | (nkeep > k_keep) | (nhole > k_hole))
 
     return jnp.stack(outs), jnp.stack(overflows)
