@@ -68,6 +68,23 @@ def test_sharded_marching_cubes_matches_single(rig_cameras):
     np.testing.assert_array_equal(tris_s, tris_r)
 
 
+def test_sharded_marching_cubes_classic_mc_matches_single():
+    """algorithm='cubes' (classic 256-case) shards bit-identically too."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(11)
+    vol = rng.uniform(size=(16, 12, 12)) < 0.4
+    vol[0] = vol[-1] = False
+
+    devices = np.asarray(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, axis_names=("grid",))
+    tris_s, n_s = mesh_sharded.extract_mesh_sharded(
+        vol, mesh, algorithm="cubes")
+    tris_r, n_r = mc.extract_mesh(vol, algorithm="cubes")
+    assert n_s == n_r
+    np.testing.assert_array_equal(tris_s, tris_r)
+
+
 def test_sharded_marching_cubes_capacity_overflow_recovers():
     from jax.sharding import Mesh
 

@@ -79,21 +79,31 @@ def _local_active(vol, axis):
 
 
 def sharded_mesh_extractor(mesh: Mesh, axis: str = "grid",
-                           capacity: int = 16384):
+                           capacity: int = 16384,
+                           algorithm: str = "tetrahedra"):
     """Jitted sharded program: volume → per-shard triangle buffers.
 
-    ``capacity`` is the PER-SHARD active-cell capacity.  Returns
-    ``(verts (n_shards·capacity·12, 3, 3) f32 voxel coords,
-       valid (n_shards·capacity·12,) bool,
+    ``capacity`` is the PER-SHARD active-cell capacity; ``algorithm`` is
+    "tetrahedra" (12 triangle slots/cell) or "cubes" (classic 256-case,
+    MAXT slots/cell) — same choices as ``marching_cubes.extract_mesh``.
+    Returns
+    ``(verts (n_shards·capacity·tpc, 3, 3) f32 voxel coords,
+       valid (n_shards·capacity·tpc,) bool,
        counts (n_shards,) i32 active cells per shard,
        total (1,) i32 psum over the grid axis)``.
     Shard slots beyond a shard's count are invalid; a shard whose count
     exceeds ``capacity`` has truncated output (caller must re-run with a
     larger capacity — counts make that detectable).
     """
-    key = (mesh, axis, capacity)
+    key = (mesh, axis, capacity, algorithm)
     if key in _EXTRACTOR_CACHE:
         return _EXTRACTOR_CACHE[key]
+    if algorithm == "tetrahedra":
+        emit, tpc = mc._emit_triangles, 12
+    elif algorithm == "cubes":
+        emit, tpc = mc._emit_triangles_mc, mc._MC_MAXT
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
 
     def _local(vol):  # (local_nx, ny, nz) bool
         act, ext = _local_active(vol, axis)
@@ -102,8 +112,8 @@ def sharded_mesh_extractor(mesh: Mesh, axis: str = "grid",
         # static-shape compaction: ascending local flat order matches the
         # single-device global order within this shard's x-range
         (cell_idx,) = jnp.nonzero(flat, size=capacity, fill_value=0)
-        verts, valid = mc._emit_triangles(ext, cell_idx, capacity=capacity)
-        slot = jax.lax.iota(jnp.int32, capacity * 12) // 12
+        verts, valid = emit(ext, cell_idx, capacity=capacity)
+        slot = jax.lax.iota(jnp.int32, capacity * tpc) // tpc
         valid = valid & (slot < count)
         # local → global x
         x_off = (jax.lax.axis_index(axis) * vol.shape[0]).astype(jnp.float32)
@@ -130,6 +140,7 @@ def extract_mesh_sharded(
     origin=(0.0, 0.0, 0.0),
     spacing=(1.0, 1.0, 1.0),
     capacity: int = 16384,
+    algorithm: str = "tetrahedra",
 ):
     """Distributed-volume surface extraction, fully on-device.
 
@@ -146,14 +157,16 @@ def extract_mesh_sharded(
     nx = volume.shape[0]
     n_shards = mesh.shape[axis]
     if nx % n_shards != 0:
-        return mc.extract_mesh(volume, origin, spacing, capacity)
+        return mc.extract_mesh(volume, origin, spacing, capacity,
+                               algorithm=algorithm)
 
     vol_sharded = jax.device_put(
         jnp.asarray(volume), NamedSharding(mesh, P(axis, None, None))
     )
+    tpc = 12 if algorithm == "tetrahedra" else mc._MC_MAXT
     cap = capacity
     while True:
-        fn = sharded_mesh_extractor(mesh, axis, cap)
+        fn = sharded_mesh_extractor(mesh, axis, cap, algorithm)
         verts, valid, counts, total = fn(vol_sharded)
         counts = np.asarray(counts)
         if counts.max(initial=0) <= cap:
@@ -163,7 +176,7 @@ def extract_mesh_sharded(
     verts = np.asarray(verts)
     valid = np.asarray(valid)
     tris = verts[valid]
-    assert len(tris) <= 12 * int(np.asarray(total)[0])
+    assert len(tris) <= tpc * int(np.asarray(total)[0])
     tris = tris * np.asarray(spacing, np.float32) + np.asarray(
         origin, np.float32
     )
