@@ -68,6 +68,58 @@ def test_sharded_marching_cubes_matches_single(rig_cameras):
     np.testing.assert_array_equal(tris_s, tris_r)
 
 
+def test_sharded_step_with_cleanup_matches_single_device(rig_cameras,
+                                                         first_frames):
+    """clean=True inserts the contour-hierarchy cleanup shard-locally;
+    sharded occupancy == a single-device replication of the same math."""
+    import jax.numpy as jnp
+
+    from vbr_tpu.ops import ccl
+
+    grid = GridConfig(nx=16, ny=16, nz=16)
+    tables = carve.build_projection_tables(rig_cameras, grid, (486, 644))
+    mesh = carve_sharded.make_carve_mesh(8, num_cameras=4, frame_batch=2)
+
+    H, W, K = 486, 644, 4
+    base = first_frames.astype(np.float32)
+    weight = np.zeros((4, H, W, K), np.float32)
+    weight[..., 0] = 1.0
+    mean = np.zeros((4, H, W, K, 3), np.float32)
+    mean[..., 0, :] = base
+    var = np.full((4, H, W, K), 225.0, np.float32)
+    frames_b = np.stack([first_frames, np.roll(first_frames, 40, axis=2)])
+    fig_thr = np.full(4, 5000.0)
+    inner_thr = np.full(4, 115.0)
+
+    step = pipeline_sharded.sharded_pipeline_step(
+        mesh, views_threshold=4, clean=True)
+    args = pipeline_sharded.place_pipeline_inputs(
+        mesh, frames_b, weight, mean, var, tables.valid, tables.lin_idx,
+        fig_thr=fig_thr, inner_thr=inner_thr)
+    occ = np.asarray(step(*args))
+
+    # single-device replication: apply + 3x3 opening + cleanup + carve
+    from vbr_tpu.ops import morphology
+    p = MOGParams(use_hsv=False, n_mixtures=K)
+    occ_ref = []
+    for f in range(2):
+        masks = []
+        for c in range(4):
+            st = gmm.MOGState(
+                weight=jnp.asarray(weight[c]), mean=jnp.asarray(mean[c]),
+                var=jnp.asarray(var[c]), nframes=jnp.asarray(10))
+            raw = gmm.apply_frozen(st, frames_b[f][c], p)
+            raw = morphology.opening(raw, (3, 3))
+            cleaned = ccl.clean_mask(raw, fig_thr[c], inner_thr[c])
+            masks.append(np.asarray(cleaned))
+        occ_f, _ = carve.carve_from_tables(
+            jnp.asarray(np.stack(masks)), jnp.asarray(frames_b[f]),
+            tables.valid, tables.lin_idx, views_threshold=4,
+            color_camera=1)
+        occ_ref.append(np.asarray(occ_f))
+    np.testing.assert_array_equal(occ, np.stack(occ_ref))
+
+
 def test_sharded_marching_cubes_classic_mc_matches_single():
     """algorithm='cubes' (classic 256-case) shards bit-identically too."""
     from jax.sharding import Mesh
