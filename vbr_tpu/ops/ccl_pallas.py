@@ -101,6 +101,45 @@ def _make_label_kernel(H, W, max_iters):
     return kernel
 
 
+def _gate_bits(reset, axis, reverse):
+    """Precomputed Hillis-Steele carry gates as an i32 bitmask per pixel.
+
+    The segmented scan's accumulated-reset carry evolves independently of
+    the values (r_{k+1} = r_k | shift(r_k, 2^k)), so its per-step gates
+    can be computed ONCE: bit k of the result is the gate the scan tests
+    at step 2^k.  The scan loop then shifts only the values — half its
+    data movement — and tests gates with a register shift+and.
+    """
+    size = reset.shape[axis]
+    b = reset  # i32 0/1
+    g = jnp.zeros_like(reset)
+    d = 1
+    k = 0
+    while d < size:
+        g = g | (b << k)
+        s = -d if reverse else d
+        bs = _shift(b, s if axis == 0 else 0, s if axis == 1 else 0, 1)
+        b = jnp.maximum(b, bs)
+        d *= 2
+        k += 1
+    return g
+
+
+def _seg_min_scan_gated(v, gbits, axis, reverse):
+    """Segmented running-min with precomputed carry gates (see above)."""
+    size = v.shape[axis]
+    d = 1
+    k = 0
+    while d < size:
+        s = -d if reverse else d
+        vs = _shift(v, s if axis == 0 else 0, s if axis == 1 else 0, BIG)
+        gate = (gbits >> k) & 1
+        v = jnp.where(gate > 0, v, jnp.minimum(v, vs))
+        d *= 2
+        k += 1
+    return v
+
+
 def _make_combined_kernel(H, W, max_iters):
     """Kernel labeling BOTH phases of a binary image in one fixpoint.
 
@@ -111,7 +150,9 @@ def _make_combined_kernel(H, W, max_iters):
     max(fg iters, bg iters) instead of their sum.  Orthogonal neighbor
     merges are subsumed by the row/column scans (a same-phase left/right/
     up/down neighbor is by definition in the same scan segment), so the
-    neighbor-min only needs the four diagonals.
+    neighbor-min only needs the four diagonals.  Scan carry gates are
+    precomputed as one i32 bitmask per direction (_gate_bits), so each
+    scan step moves only the label values.
     """
     diags = [(-1, -1), (-1, 1), (1, -1), (1, 1)]
 
@@ -121,14 +162,18 @@ def _make_combined_kernel(H, W, max_iters):
         iw = lax.broadcasted_iota(jnp.int32, (H, W), 1)
         labels0 = ih * W + iw
 
-        # loop-invariant: diagonal same-phase neighbor masks (i32 0/1) and
-        # per-direction segment resets (fill -1 differs from both phases,
-        # so image edges always reset)
+        # loop-invariant: diagonal same-phase neighbor masks and
+        # per-direction scan gates (fill -1 differs from both phases, so
+        # image edges always reset)
         ph_d = [_shift(ph, dy, dx, -1) for dy, dx in diags]
-        rst_row_f = (ph != _shift(ph, 0, 1, -1)).astype(jnp.int32)
-        rst_row_r = (ph != _shift(ph, 0, -1, -1)).astype(jnp.int32)
-        rst_col_f = (ph != _shift(ph, 1, 0, -1)).astype(jnp.int32)
-        rst_col_r = (ph != _shift(ph, -1, 0, -1)).astype(jnp.int32)
+        g_row_f = _gate_bits(
+            (ph != _shift(ph, 0, 1, -1)).astype(jnp.int32), 1, False)
+        g_row_r = _gate_bits(
+            (ph != _shift(ph, 0, -1, -1)).astype(jnp.int32), 1, True)
+        g_col_f = _gate_bits(
+            (ph != _shift(ph, 1, 0, -1)).astype(jnp.int32), 0, False)
+        g_col_r = _gate_bits(
+            (ph != _shift(ph, -1, 0, -1)).astype(jnp.int32), 0, True)
 
         def cond(state):
             _, changed, it = state
@@ -140,10 +185,10 @@ def _make_combined_kernel(H, W, max_iters):
             for phs, (dy, dx) in zip(ph_d, diags):
                 sh = _shift(labels, dy, dx, BIG)
                 nm = jnp.minimum(nm, jnp.where(phs == ph, sh, BIG))
-            l2 = _seg_min_scan(nm, rst_row_f, axis=1, reverse=False)
-            l2 = _seg_min_scan(l2, rst_row_r, axis=1, reverse=True)
-            l2 = _seg_min_scan(l2, rst_col_f, axis=0, reverse=False)
-            l2 = _seg_min_scan(l2, rst_col_r, axis=0, reverse=True)
+            l2 = _seg_min_scan_gated(nm, g_row_f, axis=1, reverse=False)
+            l2 = _seg_min_scan_gated(l2, g_row_r, axis=1, reverse=True)
+            l2 = _seg_min_scan_gated(l2, g_col_f, axis=0, reverse=False)
+            l2 = _seg_min_scan_gated(l2, g_col_r, axis=0, reverse=True)
             changed = jnp.any(l2 != labels)
             return l2, changed, it + 1
 
