@@ -88,6 +88,19 @@ def test_cli_mesh_writes_obj(rig_dir, out_dir):
     assert txt.count("\nf ") > 10 and txt.startswith(("#", "v"))
 
 
+def test_cli_pipeline_stream(rig_dir, out_dir):
+    """Streaming loop: native prefetch decode + single-dispatch full step
+    (XLA table route on CPU) + PLY of the first frame."""
+    ply = os.path.join(out_dir, "stream.ply")
+    cli.main(["pipeline", "--cpu", "--data", rig_dir, "--out-dir", out_dir,
+              "--grid", "16", "--frames", "2", "--ply", ply])
+    with open(ply, "rb") as f:
+        head = f.read(400).decode("latin1")
+    n = int([ln for ln in head.splitlines()
+             if ln.startswith("element vertex")][0].split()[-1])
+    assert n > 0
+
+
 def test_cli_render_headless_png(rig_dir, out_dir):
     png = os.path.join(out_dir, "render.png")
     cli.main(["render", "--cpu", "--data", rig_dir, "--out-dir", out_dir,
