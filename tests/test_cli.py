@@ -88,6 +88,65 @@ def test_cli_mesh_writes_obj(rig_dir, out_dir):
     assert txt.count("\nf ") > 10 and txt.startswith(("#", "v"))
 
 
+@pytest.fixture(scope="module")
+def board_dir(tmp_path_factory):
+    """Data dir with a rendered checkerboard video for cam1 + board XML."""
+    import test_photometric_calibration as tpc
+    from vbr_tpu import native
+
+    root = tmp_path_factory.mktemp("boards")
+    xmlio.save_storage(
+        str(root / "checkerboard.xml"),
+        {"CheckerBoardWidth": 8, "CheckerBoardHeight": 6,
+         "CheckerBoardSquareSize": tpc.SQUARE},
+    )
+    d = root / "cam1"
+    d.mkdir()
+    # distortion-free boards at 2× resolution: these tests lock the CLI
+    # WIRING of both intrinsics routes; distortion recovery itself is
+    # gated at op level (test_photometric_calibration) on uncompressed
+    # frames — at 320×240, mp4 compression degrades tilted-view corner
+    # positions by several px and the planar LM collapses along fx·tz
+    K2 = tpc.K_TRUE.copy()
+    K2[:2] *= 2.0
+    W2, H2 = tpc.IMG_W * 2, tpc.IMG_H * 2
+    frames = [tpc.render_board(K2, np.zeros(5), rv, tv, ss=2,
+                               size=(W2, H2))
+              for rv, tv in tpc._poses()]
+    sink = native.VideoSink(str(d / "checkerboard.avi"), 10.0, W2, H2)
+    for f in frames:
+        sink.write(f)
+    sink.close()
+    return str(root), tpc, K2
+
+
+def test_cli_calibrate_intrinsics_corners(board_dir, tmp_path):
+    """The reference-parity corners route: per-frame detection + LM."""
+    root, tpc, K2 = board_dir
+    out = str(tmp_path / "out")
+    cli.main(["calibrate", "--cpu", "--data", root, "--out-dir", out,
+              "--mode", "intrinsics", "--cams", "1",
+              "--video", "checkerboard.avi", "--frame-interval", "1",
+              "--no-annotate"])
+    K, dist, _, _ = xmlio.load_camera_config(os.path.join(out, "cam1"))
+    assert abs(K[0, 0] - K2[0, 0]) / K2[0, 0] < 0.02
+    assert abs(K[1, 2] - K2[1, 2]) < 6.0
+
+
+def test_cli_calibrate_intrinsics_photometric(board_dir, tmp_path):
+    """The detector-free photometric route through the CLI."""
+    root, tpc, K2 = board_dir
+    out = str(tmp_path / "out")
+    cli.main(["calibrate", "--cpu", "--data", root, "--out-dir", out,
+              "--mode", "intrinsics", "--method", "photometric",
+              "--cams", "1", "--video", "checkerboard.avi",
+              "--frame-interval", "1", "--photometric-iters", "60"])
+    K, _, _, _ = xmlio.load_camera_config(os.path.join(out, "cam1"))
+    assert abs(K[0, 0] - K2[0, 0]) / K2[0, 0] < 0.10
+    assert os.path.exists(os.path.join(out, "cam1",
+                                       "photometric_calib.npz"))
+
+
 def test_cli_pipeline_stream(rig_dir, out_dir):
     """Streaming loop: native prefetch decode + single-dispatch full step
     (XLA table route on CPU) + PLY of the first frame."""

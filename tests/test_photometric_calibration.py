@@ -39,12 +39,13 @@ def _poses():
     return out
 
 
-def render_board(K, dist, rvec, tvec, ss: int = 3) -> np.ndarray:
+def render_board(K, dist, rvec, tvec, ss: int = 3, size=None) -> np.ndarray:
     """Render the board as a BGR frame via per-pixel inverse mapping."""
+    W, H = size if size is not None else (IMG_W, IMG_H)
     nu, nv = PATTERN[0] + 1, PATTERN[1] + 1
-    ys, xs = np.mgrid[0:IMG_H, 0:IMG_W]
+    ys, xs = np.mgrid[0:H, 0:W]
     offs = (np.arange(ss) + 0.5) / ss - 0.5
-    acc = np.zeros((IMG_H, IMG_W), np.float64)
+    acc = np.zeros((H, W), np.float64)
     R = np.asarray(cam_ops.rodrigues(np.asarray(rvec), xp=np))
     t = np.asarray(tvec, np.float64)
     Rt_t = R.T @ t
@@ -67,7 +68,7 @@ def render_board(K, dist, rvec, tvec, ss: int = 3) -> np.ndarray:
                 % 2 == 0
             val = np.where(inside & black, 25.0,
                            np.where(margin, 235.0, 90.0))
-            acc += val.reshape(IMG_H, IMG_W)
+            acc += val.reshape(H, W)
     g = (acc / ss / ss).astype(np.uint8)
     return np.stack([g, g, g], -1)
 
