@@ -45,6 +45,33 @@ class TestMarchingTets:
         # Euler characteristic of a sphere: V - E + F = 2
         assert len(verts) - len(edges) + len(faces) == 2
 
+    def test_vertex_normals_outward_unit(self):
+        """Area-weighted vertex normals: unit length, radially outward on
+        a sphere, and written as vn//-indexed faces in the OBJ."""
+        vol = sphere_volume()
+        tris, _ = mc.extract_mesh(vol)
+        verts, faces = mc.mesh_to_vertex_faces(tris)
+        vn = mc.vertex_normals(verts, faces)
+        np.testing.assert_allclose(np.linalg.norm(vn, axis=1), 1.0,
+                                   atol=1e-5)
+        center = verts.mean(0)
+        radial = verts - center
+        radial /= np.linalg.norm(radial, axis=1, keepdims=True)
+        cos = (vn * radial).sum(1)
+        # voxel staircase corners deviate from radial, but normals must
+        # never point inward, and the vast majority align well
+        assert (cos > 0).all()
+        assert (cos > 0.3).mean() > 0.95
+
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            p = f"{d}/m.obj"
+            mc.write_obj(p, tris)
+            txt = open(p).read()
+            assert txt.count("\nvn ") + txt.startswith("vn ") == len(verts)
+            assert "//" in txt
+
     def test_outward_orientation_and_volume(self):
         vol = sphere_volume()
         tris, _ = mc.extract_mesh(vol)

@@ -358,8 +358,33 @@ def mesh_to_vertex_faces(tris: np.ndarray):
     return verts, faces
 
 
-def write_obj(path: str, tris: np.ndarray):
-    """Dump a triangle soup as a Wavefront OBJ (viewer-independent)."""
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals (V, 3), unit length.
+
+    The cross product of two triangle edges has magnitude 2·area, so
+    accumulating raw cross products per vertex IS area weighting — the
+    same convention as the vertex normals the reference receives from
+    ``skimage.measure.marching_cubes`` (voxel_reconstruction.py:142).
+    Our triangles are consistently outward-wound (test-gated), so the
+    result points outward.
+    """
+    fn = np.cross(
+        verts[faces[:, 1]] - verts[faces[:, 0]],
+        verts[faces[:, 2]] - verts[faces[:, 0]],
+    )  # (T, 3), |fn| = 2*area
+    vn = np.zeros_like(verts, dtype=np.float64)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
+    norm = np.linalg.norm(vn, axis=1, keepdims=True)
+    return (vn / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
+def write_obj(path: str, tris: np.ndarray, normals: bool = True):
+    """Dump a triangle soup as a Wavefront OBJ (viewer-independent).
+
+    ``normals=True`` welds vertices, computes area-weighted vertex
+    normals, and writes ``vn`` records with ``f a//a`` faces.
+    """
     verts, faces = mesh_to_vertex_faces(tris)
     import os
 
@@ -367,5 +392,11 @@ def write_obj(path: str, tris: np.ndarray):
     with open(path, "w") as f:
         for v in verts:
             f.write(f"v {v[0]:.5f} {v[1]:.5f} {v[2]:.5f}\n")
-        for a, b, c in faces + 1:
-            f.write(f"f {a} {b} {c}\n")
+        if normals:
+            for n in vertex_normals(verts, faces):
+                f.write(f"vn {n[0]:.5f} {n[1]:.5f} {n[2]:.5f}\n")
+            for a, b, c in faces + 1:
+                f.write(f"f {a}//{a} {b}//{b} {c}//{c}\n")
+        else:
+            for a, b, c in faces + 1:
+                f.write(f"f {a} {b} {c}\n")
