@@ -189,23 +189,36 @@ def cmd_calibrate(args):
                 ))
                 cand.append((np.asarray(rvec).ravel(),
                              np.asarray(tvec).ravel()))
-            sil = auto_ext.quick_person_masks(
-                args.data, len(cams), cam_indices=cams
-            )
-            flips, votes = auto_ext.resolve_rig_orientation(
-                cam_params, cand, sil, square_mm=square, pattern=board
-            )
-            ranked = sorted(votes.values(), reverse=True)
-            margin = ranked[0] - (ranked[1] if len(ranked) > 1 else 0)
-            print(f"orientation vote: best {ranked[0]} hull voxels, "
-                  f"margin {margin} over runner-up; flips={flips}")
-            for cam, fl in zip(cams, flips):
-                if fl:
-                    K, dist, rvec, tvec, err, fi = poses[cam]
-                    rv, tv = auto_ext.flip_pose_180(
-                        rvec, tvec, square, board
-                    )
-                    poses[cam] = (K, dist, rv, tv, err, fi)
+            try:
+                # needs per-camera background.avi + video.avi; a rig with
+                # only checkerboard footage can't vote (ADVICE r3) — fall
+                # through to the 180°-ambiguity warning instead of raising
+                sil = auto_ext.quick_person_masks(
+                    args.data, len(cams), cam_indices=cams
+                )
+            except Exception as e:
+                print(f"orientation vote skipped ({e}); an "
+                      f"{board[0]}x{board[1]} board has a 180° rotational "
+                      "symmetry — align orientations across cameras "
+                      "manually (or provide background.avi/video.avi per "
+                      "camera for hull voting)")
+                sil = None
+            flips, votes = (None, None) if sil is None else \
+                auto_ext.resolve_rig_orientation(
+                    cam_params, cand, sil, square_mm=square, pattern=board
+                )
+            if flips is not None:
+                ranked = sorted(votes.values(), reverse=True)
+                margin = ranked[0] - (ranked[1] if len(ranked) > 1 else 0)
+                print(f"orientation vote: best {ranked[0]} hull voxels, "
+                      f"margin {margin} over runner-up; flips={flips}")
+                for cam, fl in zip(cams, flips):
+                    if fl:
+                        K, dist, rvec, tvec, err, fi = poses[cam]
+                        rv, tv = auto_ext.flip_pose_180(
+                            rvec, tvec, square, board
+                        )
+                        poses[cam] = (K, dist, rv, tv, err, fi)
         elif poses:
             print(f"note — an {board[0]}x{board[1]} board has a 180° "
                   "rotational symmetry; with only a partial rig detected "

@@ -562,6 +562,49 @@ def build_block_tables_device(
     WC = _ceil_to(wc_need, LANE)
     Wc = _ceil_to(W, LANE) + WC
 
+    # Post-build f64 spot check (ADVICE r3): the device build's
+    # bit-identity rests on the boundary-suspicion bands (_SUS_EPS /
+    # _SUS_Z_EPS), validated empirically at the production rig's image
+    # scale and distortion.  Guard out-of-envelope rigs (much larger
+    # images, extreme distortion, near-camera voxels) by re-projecting a
+    # random voxel sample in f64 on the host and comparing the packed
+    # geometry words — a mismatch means the bands were too narrow for
+    # this rig, and silent table corruption would follow.
+    rng = np.random.default_rng(0)
+    M = min(2048, N)
+    so_s = rng.integers(0, nsuper, M)
+    sb_s = rng.integers(0, nsub, M)
+    sl_s = rng.integers(0, BV, M)
+    gidx = perm[so_s, sb_s, sl_s]
+    pts64 = np.stack(
+        [xs[gidx // (ny * nz)], ys[(gidx // nz) % ny], zs[gidx % nz]],
+        axis=-1,
+    )
+    got_all = np.asarray(
+        pk_buf[jnp.asarray(so_s), jnp.asarray(sb_s), :, jnp.asarray(sl_s)]
+    )  # (M, C) — one tiny device gather for all cameras
+    for c, cp in enumerate(cameras):
+        uv_s = cam_ops.project_points(
+            pts64, cp.rvec, cp.tvec, cp.K, cp.dist, xp=np
+        )
+        x_s, y_s = uv_s[:, 0], uv_s[:, 1]
+        valid_s = (y_s >= 0) & (y_s < H) & (x_s >= 0) & (x_s < W)
+        iy_s = np.where(valid_s, np.trunc(y_s), 0).astype(np.int64)
+        ix_s = np.where(valid_s, np.trunc(x_s), 0).astype(np.int64)
+        row_s = np.where(valid_s, iy_s, 1023)
+        want = (
+            (row_s << 10) | ((ix_s // WORD_BITS) << 3) | (ix_s % WORD_BITS)
+        ).astype(np.int32)
+        bad = np.flatnonzero(got_all[:, c] != want)
+        if bad.size:
+            raise AssertionError(
+                f"device table build failed the f64 spot check: camera "
+                f"{c}, {bad.size}/{M} sampled voxels mismatch (first at "
+                f"canonical index {int(gidx[bad[0]])}) — this rig is "
+                "outside the suspicion-band envelope; rebuild with "
+                "accelerate=False (pure f64 host build)"
+            )
+
     return BlockTables(
         grid_shape=grid.shape,
         sub_shape=sub,

@@ -378,10 +378,14 @@ def clean_masks_batched(
         padding pixel represents all of it).
 
     Returns (cleaned (C, H, W) u8, overflow (C,) bool).  ``overflow[c]``
-    is True when camera c had more than kf foreground or kb background
-    components — callers must redo that camera via a fallback path
-    (clean_mask_host) to preserve exactness; with kf=512/kb=128 this does
-    not occur on the production rig (measured max: 400 fg / 18 bg).
+    is True when camera c exceeded ANY device-side table: more than kf
+    foreground or kb background components, more than k_keep=min(16, kf)
+    kept figures, or more than k_hole=min(64, kb) enclosed holes — in all
+    four cases the device result for that camera is truncated, so callers
+    MUST honor the bit and redo the camera via a fallback path
+    (clean_mask_host) to preserve exactness.  With the default caps none
+    of these occur on the production rig (measured max: 400 fg / 18 bg
+    components, ≤3 kept figures, ≤18 holes).
     """
     from vbr_tpu.ops import ccl_pallas
 

@@ -174,15 +174,20 @@ def stack_frozen(
     (C, H, W, Ke) program; masks stay bitwise equal to the full-state
     apply (gmm.FrozenMOGState).
     """
-    k_eff = 1
-    for s in states:
-        _, ke = gmm.compress_frozen(s, params)
-        k_eff = max(k_eff, ke)
-    fzs = [gmm.compress_frozen(s, params, k_eff=k_eff)[0] for s in states]
+    # ONE compression pass per state (ADVICE r3: the k_eff probe used to
+    # run the full (H, W, K) reduction twice per camera on this one-core
+    # host): compress at full prefix length, learn the shared k_eff from
+    # the returned bcounts, then narrow the prefixes by slicing.
+    K = states[0].weight.shape[-1]
+    fulls = [gmm.compress_frozen(s, params, k_eff=K)[0] for s in states]
+    k_eff = max(
+        max((int(np.asarray(jnp.max(f.bcount))) for f in fulls), default=1),
+        1,
+    )
     return gmm.FrozenMOGState(
-        mean=jnp.stack([f.mean for f in fzs]),
-        thr=jnp.stack([f.thr for f in fzs]),
-        bcount=jnp.stack([f.bcount for f in fzs]),
+        mean=jnp.stack([f.mean[..., :k_eff, :] for f in fulls]),
+        thr=jnp.stack([f.thr[..., :k_eff] for f in fulls]),
+        bcount=jnp.stack([f.bcount for f in fulls]),
     )
 
 

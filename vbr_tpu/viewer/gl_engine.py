@@ -477,7 +477,15 @@ class HDRPipeline:
             )
             status = gl.glCheckFramebufferStatus(gl.GL_FRAMEBUFFER)
             if status != gl.GL_FRAMEBUFFER_COMPLETE:
-                # driver without multisample support: degrade gracefully
+                # driver without multisample support: degrade gracefully —
+                # free the partially-built MS objects and leave the
+                # single-sample FBO bound (ADVICE r3: the incomplete FBO
+                # must not stay bound nor leak)
+                gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, self.fbo)
+                gl.glDeleteFramebuffers(1, [self.fbo_ms])
+                gl.glDeleteTextures(2, self.tex_ms)
+                gl.glDeleteRenderbuffers(1, [self.rbo_ms])
+                del self.fbo_ms, self.tex_ms, self.rbo_ms
                 self.samples = 0
 
         # ping-pong blur buffers
