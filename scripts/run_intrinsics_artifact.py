@@ -19,7 +19,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# Default: CPU for bit-reproducibility of the committed artifact; set
+# VBR_DEVICE=auto (or tpu) to run the Adam refinement on the chip
+# (pipelines.photometric_calibration.select_refine_device — VERDICT r3
+# #5; scripts/bench_photometric_device.py measures the speedup).
+if os.environ.get("VBR_DEVICE", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import warnings
 

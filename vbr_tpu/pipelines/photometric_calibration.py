@@ -427,6 +427,26 @@ def _zhang_poses(views, image_shape, pattern, square_mm):
     return K0, poses
 
 
+def select_refine_device(device: Optional[str] = "auto"):
+    """Resolve the device the Adam refinement runs on.
+
+    ``"auto"`` (default): the process's default backend — the TPU chip in
+    the production environment — falling back to CPU when backend init
+    fails (e.g. the TPU tunnel is down).  ``"cpu"`` / ``"tpu"`` force a
+    platform.  VERDICT r3 #5: the refinement is f32 fused-XLA `lax.scan`
+    chunks, exactly the shape the chip wants; CPU remains the exactness/
+    availability fallback.
+    """
+    import jax
+
+    if device in (None, "auto"):
+        try:
+            return jax.devices()[0]
+        except RuntimeError:
+            return jax.devices("cpu")[0]
+    return jax.devices(device)[0]
+
+
 def photometric_calibrate(
     views: Sequence[BoardView],
     image_shape: Tuple[int, int],
@@ -441,13 +461,31 @@ def photometric_calibrate(
     stages: Optional[Sequence[Tuple[int, str]]] = None,
     pixel_sigma: bool = True,
     oob_penalty: Optional[float] = None,
+    device: Optional[str] = "auto",
 ) -> PhotoCalibResult:
     """Jointly fit K, dist and every board pose photometrically.
 
     ``image_shape`` is (width, height).  The Adam loop runs as `lax.scan`
-    chunks on the default JAX device; all frames are evaluated in one
+    chunks on ``device`` (see :func:`select_refine_device`; default: the
+    chip when reachable, CPU otherwise); all frames are evaluated in one
     program per step.
     """
+    import jax
+    import jax.numpy as jnp
+
+    with jax.default_device(select_refine_device(device)):
+        return _photometric_calibrate_on_device(
+            views, image_shape, pattern, square_mm, samples_per_square,
+            iters, chunk, huber_delta, fix_tangential, init, stages,
+            pixel_sigma, oob_penalty,
+        )
+
+
+def _photometric_calibrate_on_device(
+    views, image_shape, pattern, square_mm, samples_per_square, iters,
+    chunk, huber_delta, fix_tangential, init, stages, pixel_sigma,
+    oob_penalty,
+) -> PhotoCalibResult:
     import jax
     import jax.numpy as jnp
 
@@ -715,6 +753,7 @@ def calibrate_video_photometric(
     chunk: int = 500,
     deoverlay: bool = True,
     samples_per_square: int = 12,
+    device: Optional[str] = "auto",
 ) -> Tuple[PhotoCalibResult, List[BoardView]]:
     """Full intrinsic calibration of one video, detector-free.
 
@@ -753,5 +792,6 @@ def calibrate_video_photometric(
         iters=iters, chunk=chunk, samples_per_square=samples_per_square,
         init=(init_res.K, np.asarray(init_res.dist).reshape(-1)[:5].copy(),
               poses),
-        stages=[(n_nuis, "nuisance"), (iters - n_nuis, "all")])
+        stages=[(n_nuis, "nuisance"), (iters - n_nuis, "all")],
+        device=device)
     return res, views
