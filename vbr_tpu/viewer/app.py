@@ -87,6 +87,21 @@ def run_viewer(data_dir: str, config: AppConfig = AppConfig(),
     )
     floor.set_instances(floor_pos, floor_col)
 
+    # Textured floor when the reference's grid texture is present
+    # (executable.py:114; diffuse_grid.jpg ships, plain diffuse.jpg is
+    # LFS-stripped): one mipmapped quad replaces the instanced
+    # black/white squares.  Falls back to the flat-color instances.
+    floor_tex = eng.load_texture_file(
+        scene.prop_texture_path(resources_dir, grid=True)
+    )
+    floor_textured = None
+    if floor_tex is not None:
+        floor_textured = eng.TexturedMesh()
+        floor_textured.set_triangles(
+            *scene.floor_textured_tris(config.world_width,
+                                       config.world_width)
+        )
+
     # each camera: its own rotated prop model, one instance at its center
     # (executable.py:110,125-127)
     cam_meshes = []
@@ -182,12 +197,15 @@ def run_viewer(data_dir: str, config: AppConfig = AppConfig(),
         gl.glUniformMatrix4fv(
             gl.glGetUniformLocation(prog, "u_view_proj"), 1, True, vp
         )
-        draws = [(floor, 1.0)] + [(m, 1.0) for m in cam_meshes]
+        draws = ([] if floor_textured else [(floor, 1.0)]) \
+            + [(m, 1.0) for m in cam_meshes]
         if not state["show_mesh"]:
             draws.append((cubes, 1.0))
         for mesh, scale in draws:
             gl.glUniform1f(gl.glGetUniformLocation(prog, "u_scale"), scale)
             mesh.draw()
+        if floor_textured:
+            floor_textured.draw(vp, floor_tex)
         if state["show_mesh"]:
             surface.draw(vp)
         if state["show_frusta"]:

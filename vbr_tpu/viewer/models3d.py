@@ -78,3 +78,24 @@ def mesh_to_tris(meshes: List[MeshData]) -> np.ndarray:
     return (
         np.concatenate(tris) if tris else np.zeros((0, 3, 3), np.float32)
     )
+
+
+def mesh_to_tris_uv(meshes: List[MeshData]):
+    """Flatten meshes into ((T, 3, 3) vertices, (T, 3, 2) UVs).
+
+    Meshes without a UV channel contribute zero UVs (they sample the
+    texture's corner texel — visually the reference's behavior, whose
+    vertex shader forwards whatever assimp supplied,
+    resources/shaders/vert.vs + engine/renderable/model.py).
+    """
+    tris, uvs = [], []
+    for m in meshes:
+        tris.append(m.vertices[m.faces])
+        if m.uvs is not None:
+            uvs.append(m.uvs[m.faces])
+        else:
+            uvs.append(np.zeros((len(m.faces), 3, 2), np.float32))
+    if not tris:
+        return (np.zeros((0, 3, 3), np.float32),
+                np.zeros((0, 3, 2), np.float32))
+    return np.concatenate(tris), np.concatenate(uvs)

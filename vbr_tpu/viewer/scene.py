@@ -140,6 +140,50 @@ def surface_tris_to_viewer(
     return np.stack([t[..., 0], -t[..., 2], t[..., 1]], axis=-1)
 
 
+def prop_texture_path(resources_dir: str, name: str = "diffuse",
+                      grid: bool = False) -> str:
+    """Path of a reference texture (resources/textures beside the model
+    dir; executable.py:113-120 loads diffuse/normal/specular/depth plus
+    their *_grid variants)."""
+    tex_dir = os.path.join(os.path.dirname(os.path.abspath(resources_dir)),
+                           "textures")
+    return os.path.join(tex_dir, f"{name}_grid.jpg" if grid else
+                        f"{name}.jpg")
+
+
+def load_prop_textured(resources_dir: str, name: str):
+    """((T,3,3) tris, (T,3,2) uvs) for a named assimp prop, or None."""
+    path = os.path.join(resources_dir, f"{name}.json")
+    if not os.path.isfile(path):
+        return None
+    return models3d.mesh_to_tris_uv(models3d.load_assimp_json(path))
+
+
+def floor_textured_tris(world_width: int, world_depth: int):
+    """One textured quad covering the floor-grid extent.
+
+    Same world placement as generate_grid (assignment.py:43-51: cell x
+    spans [x·bs − w/2, ...] at y = −bs) with one texture repeat per
+    2×2-cell checker period, so the reference's diffuse_grid.jpg tiles
+    match the instanced black/white squares cell-for-cell.
+    """
+    from vbr_tpu.pipelines.reconstruction import BLOCK_SIZE
+
+    x0, x1 = -world_width / 2, world_width * BLOCK_SIZE - world_width / 2
+    z0, z1 = -world_depth / 2, world_depth * BLOCK_SIZE - world_depth / 2
+    y = -BLOCK_SIZE
+    quad = np.array([
+        [[x0, y, z0], [x0, y, z1], [x1, y, z1]],
+        [[x0, y, z0], [x1, y, z1], [x1, y, z0]],
+    ], np.float32)
+    u1, v1 = world_width / 2.0, world_depth / 2.0
+    uvq = np.array([
+        [[0, 0], [0, v1], [u1, v1]],
+        [[0, 0], [u1, v1], [u1, 0]],
+    ], np.float32)
+    return quad, uvq
+
+
 def floor_and_cam_instances(cameras, world_width: int, world_depth: int):
     """Floor checkerboard + camera positions/colors (viewer contract)."""
     from vbr_tpu.pipelines.reconstruction import generate_grid
