@@ -202,3 +202,293 @@ class TestClassicMarchingCubes:
         tris_t, _ = mc.extract_mesh(vol)
         vc, vt = _signed_volume(tris_c), _signed_volume(tris_t)
         assert abs(vc - vt) / vt < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Output-level parity with the reference's skimage call (VERDICT r3 #4)
+# ---------------------------------------------------------------------------
+#
+# scikit-image is not installed in this environment (and the raw package
+# cannot be fetched), so parity is pinned to two falsifiable, output-level
+# characterizations of what ``skimage.measure.marching_cubes`` emits for the
+# reference's call (voxel_reconstruction.py:142 — a BINARY volume):
+#
+#   1. VERTICES are fully determined: every marching-cubes-family algorithm
+#      places exactly one vertex on each lattice edge whose endpoint
+#      occupancies differ, at the linear ``level``-crossing.  We compute
+#      that set from first principles (three shifted comparisons) and
+#      require exact equality — including the reference's degenerate
+#      ``level=0`` placement (vertices ON the outside corners).
+#   2. TOPOLOGY under Lewiner's MC33 ambiguity resolution is decidable in
+#      closed form on binary data: every face test is the sign of the
+#      bilinear saddle (A·C−B·D)/(A+C−B−D) = ½ > 0 and every interior test
+#      evaluates the trilinear interpolant between diagonal inside corners
+#      (> 0), so MC33 always JOINS inside corners → surface components
+#      follow 26-connectivity of the inside voxels against 6-connectivity
+#      of the outside.  ``ambiguity="join"`` implements exactly that rule;
+#      we verify the component semantics against scipy.ndimage.label
+#      ground truth.
+#
+# Principled divergence (documented, inherent): the triangulation of each
+# surface patch (fan/tube vs MC33's tiling of the same boundary polygons)
+# and the default vertex placement (0.5 midpoints vs the reference's
+# degenerate level-0) — same vertex set, same patch boundaries, same
+# topology.
+
+
+def _crossed_edge_midpoints(vol, level=0.5):
+    """First-principles expected vertex set: the linear level-crossing of
+    every lattice edge whose endpoints straddle ``level``."""
+    v = vol.astype(np.float64)
+    pts = []
+    for ax in range(3):
+        a = v[tuple(slice(0, -1) if i == ax else slice(None) for i in range(3))]
+        b = v[tuple(slice(1, None) if i == ax else slice(None) for i in range(3))]
+        crossed = (a > level) != (b > level)
+        idx = np.argwhere(crossed).astype(np.float64)
+        if len(idx) == 0:
+            continue
+        va = a[crossed]
+        t = (va - level) / (va - b[crossed])
+        p = idx.copy()
+        p[:, ax] += t
+        pts.append(p)
+    if not pts:
+        return np.zeros((0, 3))
+    return np.unique(np.concatenate(pts).round(decimals=6), axis=0)
+
+
+def _mesh_vertex_set(tris):
+    return np.unique(tris.reshape(-1, 3).round(decimals=6), axis=0)
+
+
+def _random_vol(rng, n=7, pad=1, p=0.45):
+    vol = np.zeros((n, n, n), bool)
+    vol[pad:n - pad, pad:n - pad, pad:n - pad] = (
+        rng.random((n - 2 * pad,) * 3) < p
+    )
+    return vol
+
+
+class TestSkimageOutputParity:
+    def test_vertex_set_exact_both_rules(self):
+        rng = np.random.default_rng(7)
+        vols = [sphere_volume(n=12, r=4.0)] + [
+            _random_vol(rng) for _ in range(10)
+        ]
+        for vol in vols:
+            if not vol.any():
+                continue
+            expected = _crossed_edge_midpoints(vol)
+            for amb in ("separate", "join"):
+                tris, n = mc.extract_mesh(
+                    vol, algorithm="cubes", ambiguity=amb
+                )
+                got = _mesh_vertex_set(tris)
+                np.testing.assert_array_equal(got, expected)
+
+    def test_level_zero_reference_degenerate_placement(self):
+        """The reference's exact call is level=0 on a binary volume —
+        skimage's interpolation then lands every vertex ON the outside
+        corner of its crossed edge.  Same formula here."""
+        vol = sphere_volume(n=10, r=3.0)
+        tris, n = mc.extract_mesh(
+            vol, algorithm="cubes", ambiguity="join", level=0.0
+        )
+        assert n > 0
+        got = _mesh_vertex_set(tris)
+        expected = _crossed_edge_midpoints(vol, level=0.0)
+        np.testing.assert_array_equal(got, expected)
+        # and those points are exactly the outside voxels 6-adjacent to
+        # an inside voxel (integer lattice coordinates)
+        assert (got == np.round(got)).all()
+        for p in got[:: max(1, len(got) // 16)].astype(int):
+            assert not vol[tuple(p)]
+            nbrs = []
+            for ax in range(3):
+                for d in (-1, 1):
+                    q = p.copy()
+                    q[ax] += d
+                    if (q >= 0).all() and (q < np.array(vol.shape)).all():
+                        nbrs.append(vol[tuple(q)])
+            assert any(nbrs)
+
+    def test_level_general_scalar_field(self):
+        """Continuous fields: vertices at the exact linear crossing of an
+        arbitrary level (skimage's formula), case selection v > level."""
+        g = np.arange(14)
+        x, y, z = np.meshgrid(g, g, g, indexing="ij")
+        f = ((x - 6.5) ** 2 + (y - 6.5) ** 2 + (z - 6.5) ** 2) / 20.0
+        level = 1.37
+        tris, n = mc.extract_mesh(
+            (f < 99).astype(np.float32) * 0 + f.astype(np.float32),
+            algorithm="cubes", level=level,
+        )
+        # volume passed as float field; rebuild expected from the field
+        got = _mesh_vertex_set(tris)
+        # NOTE: extract_mesh's "inside" is v > level, but this field grows
+        # outward (inside = small values), so the surface is still the
+        # level set — vertex positions are what we check
+        expected = _crossed_edge_midpoints(f, level=level)
+        assert len(got) == len(expected)
+        # kernel interpolates in f32, oracle in f64: match by bijection
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(expected).query(got)
+        assert d.max() < 1e-4
+        d, _ = cKDTree(got).query(expected)
+        assert d.max() < 1e-4
+
+    def test_join_is_26_connectivity_separate_is_6(self):
+        """A corner-touching diagonal chain: Lewiner's binary resolution
+        (join) produces ONE tube-snake; the separate rule produces one
+        closed cube per voxel."""
+        n = 5
+        vol = np.zeros((n + 2, n + 2, n + 2), bool)
+        for i in range(n):
+            vol[i + 1, i + 1, i + 1] = True
+
+        def n_components(tris):
+            verts, faces = mc.mesh_to_vertex_faces(tris)
+            parent = list(range(len(verts)))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for f in faces:
+                for a, b in ((f[0], f[1]), (f[1], f[2])):
+                    parent[find(int(a))] = find(int(b))
+            return len({find(i) for i in range(len(verts))})
+
+        tris_s, _ = mc.extract_mesh(vol, algorithm="cubes",
+                                    ambiguity="separate")
+        tris_j, _ = mc.extract_mesh(vol, algorithm="cubes",
+                                    ambiguity="join")
+        assert n_components(tris_s) == n
+        assert n_components(tris_j) == 1
+        # the tube encloses more than the n separate corner-trimmed cubes
+        assert _signed_volume(tris_j) > _signed_volume(tris_s)
+
+    def test_component_semantics_vs_scipy_labels(self):
+        """Fuzz: mesh component count equals the number of adjacent
+        (inside-component, outside-component) pairs, with inside labeled
+        at 26-connectivity for join / 6 for separate (and outside at the
+        dual connectivity) — scipy.ndimage ground truth.  Volumes where
+        sheets share a welded vertex (pinch) are skipped for the count
+        (the closedness/orientation fuzz still covers them)."""
+        from scipy import ndimage
+
+        s6 = ndimage.generate_binary_structure(3, 1)
+        s26 = ndimage.generate_binary_structure(3, 3)
+        rng = np.random.default_rng(11)
+        checked = 0
+        for _ in range(40):
+            vol = _random_vol(rng, p=0.35)
+            if not vol.any():
+                continue
+            for amb, s_in, s_out in (
+                ("join", s26, s6), ("separate", s6, s26)
+            ):
+                tris, n = mc.extract_mesh(vol, algorithm="cubes",
+                                          ambiguity=amb)
+                verts, faces = mc.mesh_to_vertex_faces(tris)
+                if _has_vertex_pinch(verts, faces):
+                    continue
+                lab_in, _ = ndimage.label(vol, structure=s_in)
+                lab_out, _ = ndimage.label(~vol, structure=s_out)
+                pairs = set()
+                for ax in range(3):
+                    sl_a = tuple(
+                        slice(0, -1) if i == ax else slice(None)
+                        for i in range(3)
+                    )
+                    sl_b = tuple(
+                        slice(1, None) if i == ax else slice(None)
+                        for i in range(3)
+                    )
+                    a_in, b_in = lab_in[sl_a], lab_in[sl_b]
+                    a_out, b_out = lab_out[sl_a], lab_out[sl_b]
+                    m = (a_in > 0) & (b_out > 0)
+                    pairs.update(zip(a_in[m].tolist(), b_out[m].tolist()))
+                    m = (b_in > 0) & (a_out > 0)
+                    pairs.update(zip(b_in[m].tolist(), a_out[m].tolist()))
+                got = _n_mesh_components(verts, faces)
+                assert got == len(pairs), (amb, got, len(pairs))
+                checked += 1
+        assert checked >= 20
+
+    def test_join_closed_and_oriented_fuzz(self):
+        rng = np.random.default_rng(3)
+        for _ in range(20):
+            vol = _random_vol(rng)
+            if not vol.any():
+                continue
+            tris, n = mc.extract_mesh(vol, algorithm="cubes",
+                                      ambiguity="join")
+            _, faces = mc.mesh_to_vertex_faces(tris)
+            und, dir_ = {}, {}
+            for f in faces:
+                for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+                    k = (min(a, b), max(a, b))
+                    und[k] = und.get(k, 0) + 1
+                    dir_[(a, b)] = dir_.get((a, b), 0) + 1
+            counts = np.array(list(und.values()))
+            assert (counts % 2 == 0).all() and (counts <= 4).all()
+            for (a, b), c in dir_.items():
+                assert dir_.get((b, a), 0) == c
+            assert _signed_volume(tris) > 0
+
+
+def _n_mesh_components(verts, faces):
+    parent = list(range(len(verts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for f in faces:
+        for a, b in ((f[0], f[1]), (f[1], f[2])):
+            parent[find(int(a))] = find(int(b))
+    used = {find(int(i)) for f in faces for i in f}
+    return len(used)
+
+
+def _has_vertex_pinch(verts, faces):
+    """True if any vertex's incident triangles do not form a single fan
+    connected through shared mesh edges (two sheets welded at a point or
+    an edge)."""
+    incident = {}
+    for t, f in enumerate(faces):
+        for v in f:
+            incident.setdefault(int(v), []).append(t)
+    for v, ts in incident.items():
+        if len(ts) <= 1:
+            continue
+        # connect triangles sharing an edge THROUGH v
+        adj = {t: set() for t in ts}
+        by_other = {}
+        for t in ts:
+            others = [int(x) for x in faces[t] if int(x) != v]
+            for o in others:
+                by_other.setdefault(o, []).append(t)
+        for o, tl in by_other.items():
+            for i in range(len(tl)):
+                for j in range(i + 1, len(tl)):
+                    adj[tl[i]].add(tl[j])
+                    adj[tl[j]].add(tl[i])
+        seen = {ts[0]}
+        stack = [ts[0]]
+        while stack:
+            cur = stack.pop()
+            for nb in adj[cur]:
+                if nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        if len(seen) != len(ts):
+            return True
+    return False

@@ -85,16 +85,36 @@ _TET_EDGES_J = jnp.asarray(_TET_EDGES)
 # corner configuration, the cut points on each cube face are paired into
 # directed segments ("inside region on the left, viewed from outside the
 # cell"), the segments chain into closed loops, and each loop is fan-
-# triangulated.  The ambiguous face (two diagonal inside corners) uses the
-# fixed *separate-inside* rule; because the pairing depends only on the
-# shared face's corner states, adjacent cells always agree → the mesh is
-# watertight across cells (tested: closed-2-manifold + Euler checks).
+# triangulated.  Because the pairing depends only on the shared face's
+# corner states, adjacent cells always agree → the mesh is watertight
+# across cells (tested: closed-2-manifold + Euler checks).
+#
+# Two ambiguity rules are generated (the ambiguous face = two diagonal
+# inside corners):
+#
+# * ``separate`` — the diagonal inside pair is cut apart (two segments
+#   around each inside corner).  Surface components follow 6-connectivity
+#   of the inside voxels.
+# * ``join`` — the diagonal inside pair is connected (segments around
+#   each OUTSIDE corner), and loops bounding the same outside-corner
+#   component are triangulated as one patch (tube), so diagonally
+#   adjacent inside corners merge.  This reproduces, by construction,
+#   what skimage's Lewiner MC33 (the reference's
+#   ``skimage.measure.marching_cubes`` call, voxel_reconstruction.py:142)
+#   resolves on a BINARY volume: every MC33 face test is the sign of the
+#   bilinear saddle (A·C − B·D)/(A+C−B−D) which for inside=1/outside=0
+#   relative values is (1·1 − 0·0)/(1+1) = ½ > 0 → join, and every
+#   interior test evaluates the trilinear interpolant between diagonal
+#   inside corners, positive for the same reason → join.  Surface
+#   components follow 26-connectivity of the inside voxels (test-gated
+#   against scipy.ndimage.label ground truth).
 
 
-def _build_mc_tables():
+def _build_mc_tables(ambig: str = "separate"):
     """Generate (tri_table (256, MAXT, 3) edge ids, edge midpoints (12, 3)).
 
     Corner index bit layout matches ``_CORNERS``: bit0=dx, bit1=dy, bit2=dz.
+    ``ambig`` picks the ambiguous-face rule ("separate" | "join", above).
     """
     corners = np.array(
         [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
@@ -147,14 +167,24 @@ def _build_mc_tables():
                 if len(cut) == 2:
                     a, b = seg(cut[0], cut[1], cs[ins[0]])
                     segs[a] = b
-                else:  # ambiguous face: separate the diagonal inside pair
+                elif ambig == "separate":
+                    # cut the diagonal inside pair apart
                     for k in ins:
                         a, b = seg((k - 1) % 4, k, cs[k])
+                        segs[a] = b
+                else:
+                    # join the inside pair: segments around each OUTSIDE
+                    # corner; the neighbouring (inside) corner is the
+                    # left-of-segment orientation reference
+                    for k in range(4):
+                        if inside[cs[k]]:
+                            continue
+                        a, b = seg((k - 1) % 4, k, cs[(k + 1) % 4])
                         segs[a] = b
         # every cut edge must appear exactly once as source and once as
         # target — the direction convention chains across faces
         assert sorted(segs) == sorted(segs.values()), cfg
-        tris = []
+        loops = []
         visited = set()
         for start in sorted(segs):
             if start in visited:
@@ -166,8 +196,75 @@ def _build_mc_tables():
                 loop.append(cur)
                 visited.add(cur)
                 cur = segs[cur]
-            for i in range(1, len(loop) - 1):
-                tris.append((loop[0], loop[i], loop[i + 1]))
+            loops.append(loop)
+
+        if ambig == "join" and len(loops) > 1:
+            # group loops by the outside-corner component they bound
+            # (outside corners join only via cube EDGES; diagonal joins
+            # belong to the inside region under the binary MC33 tests)
+            parent = list(range(8))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a in range(8):
+                for b in range(a + 1, 8):
+                    if (
+                        bin(a ^ b).count("1") == 1
+                        and not inside[a] and not inside[b]
+                    ):
+                        parent[find(a)] = find(b)
+
+            def loop_comp(loop):
+                comps = {
+                    find(a if not inside[a] else b)
+                    for e in loop
+                    for a, b in (edges[e],)
+                }
+                assert len(comps) == 1, (cfg, loop, comps)
+                return comps.pop()
+
+            groups = {}
+            for loop in loops:
+                groups.setdefault(loop_comp(loop), []).append(loop)
+            patches = list(groups.values())
+        else:
+            patches = [[loop] for loop in loops]
+
+        tris = []
+        for patch in patches:
+            if len(patch) == 1:
+                loop = patch[0]
+                for i in range(1, len(loop) - 1):
+                    tris.append((loop[0], loop[i], loop[i + 1]))
+            elif len(patch) == 2:
+                # tube between two boundary loops: zip A (chain order)
+                # against reversed B so both loops' directed segments
+                # appear in chain direction (watertight across cells)
+                a, b = patch
+                b2 = b[::-1]
+                # rotate b2 so its head is nearest a[0]
+                d = [np.linalg.norm(mids[e] - mids[a[0]]) for e in b2]
+                r = int(np.argmin(d))
+                b2 = b2[r:] + b2[:r]
+                p, q = len(a), len(b2)
+                i = j = 0
+                while i < p or j < q:
+                    if j >= q or (i < p and i * q <= j * p):
+                        tris.append((a[i % p], a[(i + 1) % p], b2[j % q]))
+                        i += 1
+                    else:
+                        tris.append(
+                            (a[i % p], b2[(j + 1) % q], b2[j % q])
+                        )
+                        j += 1
+            else:  # pragma: no cover - not reachable for 256 configs
+                raise AssertionError(
+                    f"config {cfg}: {len(patch)}-loop patch unsupported"
+                )
         tri_lists.append(tris)
 
     maxt = max(len(t) for t in tri_lists)
@@ -186,19 +283,50 @@ def _build_mc_tables():
     return table, mids
 
 
-_MC_TABLE_NP, _MC_MIDS_NP = _build_mc_tables()
+_MC_TABLE_NP, _MC_MIDS_NP = _build_mc_tables("separate")
+_MC_TABLE_JOIN_NP, _ = _build_mc_tables("join")
 _MC_MAXT = _MC_TABLE_NP.shape[1]
-_MC_TABLE_J = jnp.asarray(_MC_TABLE_NP)
+_MC_TABLES_J = {
+    "separate": jnp.asarray(_MC_TABLE_NP),
+    "join": jnp.asarray(_MC_TABLE_JOIN_NP),
+}
+_MC_MAXTS = {
+    "separate": _MC_TABLE_NP.shape[1],
+    "join": _MC_TABLE_JOIN_NP.shape[1],
+}
 _MC_MIDS_J = jnp.asarray(_MC_MIDS_NP)
+# edge id -> (corner a, corner b), same ordering as _build_mc_tables
+_MC_EDGE_CORNERS_NP = np.array(
+    sorted(
+        (a, b)
+        for a in range(8)
+        for b in range(a + 1, 8)
+        if bin(a ^ b).count("1") == 1
+    ),
+    np.int32,
+)
+_MC_EDGE_CORNERS_J = jnp.asarray(_MC_EDGE_CORNERS_NP)
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def _emit_triangles_mc(volume, cell_idx, *, capacity: int):
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "ambiguity", "level")
+)
+def _emit_triangles_mc(
+    volume, cell_idx, *, capacity: int, ambiguity: str = "separate",
+    level: float = 0.5,
+):
     """Classic-MC triangles for ``capacity`` active cells.
+
+    Vertices sit at the linear-interpolation crossing of ``level`` along
+    each cut edge — the same formula skimage's marching cubes uses, so
+    for a binary volume at the reference's ``level=0`` call the vertices
+    land exactly on the outside-corner lattice points, and at the default
+    0.5 they are edge midpoints (bit-identical to the old midpoint table).
 
     Returns (tris (capacity·MAXT, 3, 3) f32 voxel coords, valid mask)."""
     vol = volume.astype(jnp.float32)
     nx, ny, nz = volume.shape
+    table = _MC_TABLES_J[ambiguity]
 
     def per_cell(flat_idx):
         cz = flat_idx % (nz - 1)
@@ -213,12 +341,17 @@ def _emit_triangles_mc(volume, cell_idx, *, capacity: int):
             ]
         )
         cfg = jnp.sum(
-            (vals > 0.5).astype(jnp.int32) * (1 << jnp.arange(8)), axis=0
+            (vals > level).astype(jnp.int32) * (1 << jnp.arange(8)), axis=0
         )
-        tri_edges = _MC_TABLE_J[cfg]  # (MAXT, 3)
+        tri_edges = table[cfg]  # (MAXT, 3)
         valid = tri_edges[:, 0] >= 0
+        pair = _MC_EDGE_CORNERS_J[jnp.clip(tri_edges, 0, 11)]  # (MAXT,3,2)
+        va, vb = vals[pair[..., 0]], vals[pair[..., 1]]
+        t = (va - level) / jnp.where(va == vb, 1.0, va - vb)
+        pa = _CORNERS_J[pair[..., 0]]
+        pb = _CORNERS_J[pair[..., 1]]
         verts = (
-            _MC_MIDS_J[jnp.clip(tri_edges, 0, 11)]
+            pa + t[..., None] * (pb - pa)
             + base[None, None, :].astype(jnp.float32)
         )  # (MAXT, 3, 3)
         return verts, valid
@@ -227,10 +360,12 @@ def _emit_triangles_mc(volume, cell_idx, *, capacity: int):
     return verts.reshape(-1, 3, 3), valid.reshape(-1)
 
 
-@jax.jit
-def active_cells_mask(volume: jnp.ndarray) -> jnp.ndarray:
-    """(nx-1, ny-1, nz-1) bool: cells whose 8 corners are not all equal."""
-    v = volume.astype(jnp.int32)
+@functools.partial(jax.jit, static_argnames=("level",))
+def active_cells_mask(
+    volume: jnp.ndarray, level: float = 0.5
+) -> jnp.ndarray:
+    """(nx-1, ny-1, nz-1) bool: cells whose 8 corners straddle ``level``."""
+    v = (volume.astype(jnp.float32) > level).astype(jnp.int32)
     s = (
         v[:-1, :-1, :-1] + v[1:, :-1, :-1] + v[:-1, 1:, :-1] + v[1:, 1:, :-1]
         + v[:-1, :-1, 1:] + v[1:, :-1, 1:] + v[:-1, 1:, 1:] + v[1:, 1:, 1:]
@@ -309,14 +444,23 @@ def extract_mesh(
     spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     capacity: int = 65536,
     algorithm: str = "tetrahedra",
+    ambiguity: str = "separate",
+    level: float = 0.5,
 ):
     """Isosurface mesh of a boolean (nx, ny, nz) volume.
 
     ``algorithm="tetrahedra"`` (default) — 6-tet decomposition,
     ambiguity-free; ``algorithm="cubes"`` — classic 256-case marching
-    cubes (algorithmic parity with the reference's skimage call,
+    cubes (parity with the reference's skimage call,
     voxel_reconstruction.py:142; ~2× fewer triangles, generated case
-    table, watertight via the separate-inside ambiguity rule).
+    table).  ``ambiguity`` (cubes only) picks the ambiguous-face rule:
+    ``"separate"`` (6-connected inside components) or ``"join"``
+    (26-connected — the resolution skimage's Lewiner MC33 tests produce
+    on a binary volume, see the table-builder note).  ``level`` (cubes
+    only) places vertices at the linear ``level``-crossing along each
+    cut edge (skimage's interpolation formula); the default 0.5 is edge
+    midpoints, and ``level=0`` reproduces the reference call's exact
+    (degenerate, on-corner) vertex placement.
 
     Returns (vertices (T, 3, 3) float32 world coords, n_triangles int).
     ``capacity`` caps the number of active cells per device pass; passes
@@ -324,10 +468,22 @@ def extract_mesh(
     """
     if algorithm not in ("tetrahedra", "cubes"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    emit = _emit_triangles if algorithm == "tetrahedra" else _emit_triangles_mc
-    tris_per_cell = 12 if algorithm == "tetrahedra" else _MC_MAXT
+    if ambiguity not in ("separate", "join"):
+        raise ValueError(f"unknown ambiguity rule {ambiguity!r}")
+    if algorithm == "tetrahedra" and level != 0.5:
+        raise ValueError("level is only supported with algorithm='cubes'")
+    if algorithm == "tetrahedra":
+        emit = _emit_triangles
+        tris_per_cell = 12
+    else:
+        emit = functools.partial(
+            _emit_triangles_mc, ambiguity=ambiguity, level=float(level)
+        )
+        tris_per_cell = _MC_MAXTS[ambiguity]
     volume_d = jnp.asarray(volume)
-    mask = np.asarray(active_cells_mask(volume_d)).reshape(-1)
+    mask = np.asarray(
+        active_cells_mask(volume_d, level=float(level))
+    ).reshape(-1)
     idx = np.flatnonzero(mask)
     tris_out = []
     for start in range(0, len(idx), capacity):

@@ -25,6 +25,8 @@ is bit-identical to ``marching_cubes.extract_mesh`` (tested).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,7 +82,8 @@ def _local_active(vol, axis):
 
 def sharded_mesh_extractor(mesh: Mesh, axis: str = "grid",
                            capacity: int = 16384,
-                           algorithm: str = "tetrahedra"):
+                           algorithm: str = "tetrahedra",
+                           ambiguity: str = "separate"):
     """Jitted sharded program: volume → per-shard triangle buffers.
 
     ``capacity`` is the PER-SHARD active-cell capacity; ``algorithm`` is
@@ -95,13 +98,14 @@ def sharded_mesh_extractor(mesh: Mesh, axis: str = "grid",
     exceeds ``capacity`` has truncated output (caller must re-run with a
     larger capacity — counts make that detectable).
     """
-    key = (mesh, axis, capacity, algorithm)
+    key = (mesh, axis, capacity, algorithm, ambiguity)
     if key in _EXTRACTOR_CACHE:
         return _EXTRACTOR_CACHE[key]
     if algorithm == "tetrahedra":
         emit, tpc = mc._emit_triangles, 12
     elif algorithm == "cubes":
-        emit, tpc = mc._emit_triangles_mc, mc._MC_MAXT
+        emit = functools.partial(mc._emit_triangles_mc, ambiguity=ambiguity)
+        tpc = mc._MC_MAXTS[ambiguity]
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
 
@@ -141,6 +145,7 @@ def extract_mesh_sharded(
     spacing=(1.0, 1.0, 1.0),
     capacity: int = 16384,
     algorithm: str = "tetrahedra",
+    ambiguity: str = "separate",
 ):
     """Distributed-volume surface extraction, fully on-device.
 
@@ -158,15 +163,15 @@ def extract_mesh_sharded(
     n_shards = mesh.shape[axis]
     if nx % n_shards != 0:
         return mc.extract_mesh(volume, origin, spacing, capacity,
-                               algorithm=algorithm)
+                               algorithm=algorithm, ambiguity=ambiguity)
 
     vol_sharded = jax.device_put(
         jnp.asarray(volume), NamedSharding(mesh, P(axis, None, None))
     )
-    tpc = 12 if algorithm == "tetrahedra" else mc._MC_MAXT
+    tpc = 12 if algorithm == "tetrahedra" else mc._MC_MAXTS[ambiguity]
     cap = capacity
     while True:
-        fn = sharded_mesh_extractor(mesh, axis, cap, algorithm)
+        fn = sharded_mesh_extractor(mesh, axis, cap, algorithm, ambiguity)
         verts, valid, counts, total = fn(vol_sharded)
         counts = np.asarray(counts)
         if counts.max(initial=0) <= cap:
