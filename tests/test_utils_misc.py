@@ -111,3 +111,54 @@ class TestModelLoading:
             json.dump(doc, f)
         meshes = models3d.load_assimp_json(p)
         np.testing.assert_allclose(meshes[0].vertices[0], [5, 0, 0])
+
+
+class TestPreview:
+    """Timed result previews (reference background_subtraction.py:277-280,
+    camera_calibration.py:503-506) with headless degrade."""
+
+    def test_disabled_by_nonpositive_ms(self):
+        from vbr_tpu.utils import preview
+
+        img = np.zeros((4, 4), np.uint8)
+        assert preview.show_result("w", img, 0) is False
+        assert preview.show_result("w", img, -1) is False
+
+    def test_headless_degrades_once(self, monkeypatch):
+        from vbr_tpu.utils import preview
+
+        monkeypatch.setattr(preview, "_DISABLED", False)
+        calls = []
+
+        class FakeCv2:
+            def imshow(self, *a):
+                calls.append("imshow")
+                raise RuntimeError("no display")
+
+        import sys
+        monkeypatch.setitem(sys.modules, "cv2", FakeCv2())
+        img = np.zeros((4, 4), np.uint8)
+        assert preview.show_result("w", img, 10) is False
+        assert preview._DISABLED is True
+        # second call is a no-op: cv2 not touched again
+        assert preview.show_result("w", img, 10) is False
+        assert calls == ["imshow"]
+
+    def test_shown_when_gui_works(self, monkeypatch):
+        from vbr_tpu.utils import preview
+
+        monkeypatch.setattr(preview, "_DISABLED", False)
+        shown = []
+
+        class FakeCv2:
+            def imshow(self, name, img):
+                shown.append(name)
+
+            def waitKey(self, ms):
+                shown.append(ms)
+
+        import sys
+        monkeypatch.setitem(sys.modules, "cv2", FakeCv2())
+        img = np.zeros((4, 4), np.uint8)
+        assert preview.show_result("w", img, 25) is True
+        assert shown == ["w", 25]

@@ -28,6 +28,12 @@ def _add_common(p):
                                                     "/root/reference/data"))
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--out-dir", default="artifacts")
+    p.add_argument(
+        "--preview", type=int, default=0, metavar="MS",
+        help="show intermediate results in a window for MS milliseconds "
+        "(the reference's result_time_visible contract; <=0 disables, "
+        "auto-disables on display-less hosts)",
+    )
 
 
 def _enable_compile_cache():
@@ -119,6 +125,13 @@ def cmd_calibrate(args):
                     validation.draw_chessboard_corners(overlay, pts, board)
                     cv2.imwrite(os.path.join(
                         out, "checkerboard_imagepoints.jpg"), overlay)
+                    # timed preview (camera_calibration.py:503-506)
+                    from vbr_tpu.utils import preview as preview_ui
+
+                    preview_ui.show_result(
+                        f"cam{cam} extrinsics", overlay,
+                        getattr(args, "preview", 0),
+                    )
             print(f"orientation vote: {res.votes}")
             return
         poses = {}
@@ -302,6 +315,13 @@ def cmd_calibrate(args):
                     if pts is not None:
                         validation.draw_chessboard_corners(overlay, pts, board)
                     sink.write(overlay)
+                    # timed preview (camera_calibration.py:503-506)
+                    from vbr_tpu.utils import preview as preview_ui
+
+                    preview_ui.show_result(
+                        f"cam{cam} corners", overlay,
+                        getattr(args, "preview", 0),
+                    )
             frame_idx += 1
         cap.release()
         if sink is not None:
@@ -360,10 +380,17 @@ def cmd_masks(args):
     src.release()
     masks = pipe.masks_for_frames(frames)
     os.makedirs(args.out_dir, exist_ok=True)
+    from vbr_tpu.utils import preview as preview_ui
+
     for c in range(masks.shape[0]):
         path = os.path.join(args.out_dir, f"mask_cam{c+1}.png")
         cv2.imwrite(path, masks[c])
         print(f"wrote {path} (fg {np.mean(masks[c] > 0):.4f})")
+        # reference parity: timed foreground-mask preview
+        # (background_subtraction.py:277-280)
+        preview_ui.show_result(f"mask cam{c+1}", masks[c],
+                               getattr(args, "preview", 0))
+    preview_ui.close_all()
 
 
 def _carve_setup(args):
@@ -469,7 +496,7 @@ def cmd_mesh(args):
     spacing = (xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0])
     tris, n = mc.extract_mesh(
         volume, origin=(xs[0], ys[0], zs[0]), spacing=spacing,
-        algorithm=args.algorithm,
+        algorithm=args.algorithm, ambiguity=args.ambiguity,
     )
     print(f"marching {args.algorithm}: {n} triangles")
     if args.obj:
@@ -652,7 +679,14 @@ def main(argv=None):
     p.add_argument(
         "--algorithm", choices=("tetrahedra", "cubes"), default="tetrahedra",
         help="tetrahedra: ambiguity-free 6-tet decomposition; cubes: "
-        "classic 256-case marching cubes (skimage-parity, ~3x fewer tris)",
+        "classic 256-case marching cubes (same crossed-edge vertices as "
+        "the reference's skimage call, ~3x fewer tris)",
+    )
+    p.add_argument(
+        "--ambiguity", choices=("separate", "join"), default="separate",
+        help="cubes ambiguous-face rule: separate (6-connected inside) "
+        "or join (26-connected — what skimage's Lewiner MC33 tests "
+        "resolve on a binary volume)",
     )
     p.set_defaults(fn=cmd_mesh)
 

@@ -20,6 +20,8 @@ _MESSAGES = {
     "calibration_failed": "Camera calibration did not converge.",
     "config_missing": "Camera config.xml not found.",
     "board_quad_none": "Board outline could not be estimated.",
+    "preview_unavailable": "Interactive preview window unavailable on "
+                           "this host; previews disabled.",
 }
 
 
