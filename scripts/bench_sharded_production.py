@@ -15,7 +15,12 @@ Two configurations:
     replacing the r3 "124.1 / 8 ≈ 15.5 ms" unsharded-number division
     with a measured per-shard time.
 
-Output: one JSON line per configuration.
+Each configuration is measured under all three superblock→shard
+assignment modes (contiguous slabs / strided / cost-LPT — see
+pallas_sharded.superblock_order); the contiguous-vs-balanced gap is the
+slab load imbalance.
+
+Output: one JSON line per (configuration, mode).
 
 ICI model: v5e 1D ring all_gather of B total bytes over S shards moves
 (S-1)/S·B per link at ~45 GB/s full duplex; the gathered payload is the
@@ -90,28 +95,7 @@ def bench_config(name, cams, grid, masks, frames, views_threshold,
         )
 
     ms_full = _marginal_ms(full, iters=max(6, iters // 3))
-
-    # per-shard local programs (max over shards = step critical path)
-    shard_ms = []
-    occs = []
-    for k in range(nshards):
-        loc = pallas_sharded.local_table_slice(btab, k, nshards)
-
-        def local():
-            return cpk.carve_blocked(
-                masks_d, fc, loc, views_threshold=views_threshold,
-                layout="blocked",
-            )
-
-        o = local()
-        occs.append(np.asarray(o[0]))
-        shard_ms.append(_marginal_ms(local, iters=iters))
-
-    # exactness: union of shard slices == full carve (padded tail is inert)
     occ_full = np.asarray(full()[0])
-    nloc = occs[0].shape[0]
-    stacked = np.concatenate(occs, axis=0)[: btab.nsuper]
-    exact = bool((stacked == occ_full).all())
 
     # ICI bound for the one collective: all_gather of every camera's mask
     # plane + every camera's frame (u8), ring algorithm
@@ -119,24 +103,64 @@ def bench_config(name, cams, grid, masks, frames, views_threshold,
     payload = C * H * W * (1 + 3)  # masks + BGR frames
     ici_ms = (nshards - 1) / nshards * payload / ICI_GBPS * 1e3
 
-    per_shard = max(shard_ms)
-    print(json.dumps({
-        "metric": f"sharded_production_carve_{name}",
-        "value": round(per_shard + ici_ms, 3),
-        "unit": "ms/frame (per-shard measured + ICI bound)",
-        "extra": {
-            "per_shard_carve_ms_max": round(per_shard, 3),
-            "per_shard_carve_ms_all": [round(m, 3) for m in shard_ms],
-            "unsharded_ms": round(ms_full, 3),
-            "speedup_vs_unsharded": round(ms_full / (per_shard + ici_ms), 2),
-            "mask_allgather_ici_ms_bound": round(ici_ms, 4),
-            "shards": nshards,
-            "slices_union_bitexact": exact,
-            "occupied_voxels": int(occ_full.sum()),
-            "table_build_s": round(build_s, 1),
-        },
-    }), flush=True)
-    return exact
+    # per-shard local programs (max over shards = step critical path),
+    # once per superblock→shard assignment mode
+    all_exact = True
+    for mode in ("contiguous", "strided", "cost"):
+        costs = None
+        if mode == "cost":
+            costs = pallas_sharded.superblock_costs(
+                btab, masks, views_threshold
+            )
+        order = pallas_sharded.superblock_order(
+            btab.nsuper, nshards, mode, costs=costs
+        )
+        shard_ms = []
+        occs = []
+        for k in range(nshards):
+            loc = pallas_sharded.local_table_slice(
+                btab, k, nshards, order=order
+            )
+
+            def local():
+                return cpk.carve_blocked(
+                    masks_d, fc, loc, views_threshold=views_threshold,
+                    layout="blocked",
+                )
+
+            o = local()
+            occs.append(np.asarray(o[0]))
+            shard_ms.append(_marginal_ms(local, iters=iters))
+
+        # exactness: unshuffled union of shard slices == full carve
+        stacked = np.concatenate(occs, axis=0)[None]
+        unshuf, _ = pallas_sharded.unshuffle_blocked(
+            stacked, stacked[..., None, :], btab, order
+        )
+        exact = bool((unshuf[0] == occ_full).all())
+        all_exact &= exact
+
+        per_shard = max(shard_ms)
+        print(json.dumps({
+            "metric": f"sharded_production_carve_{name}_{mode}",
+            "value": round(per_shard + ici_ms, 3),
+            "unit": "ms/frame (per-shard measured + ICI bound)",
+            "extra": {
+                "order_mode": mode,
+                "per_shard_carve_ms_max": round(per_shard, 3),
+                "per_shard_carve_ms_all": [round(m, 3) for m in shard_ms],
+                "unsharded_ms": round(ms_full, 3),
+                "speedup_vs_unsharded": round(
+                    ms_full / (per_shard + ici_ms), 2
+                ),
+                "mask_allgather_ici_ms_bound": round(ici_ms, 4),
+                "shards": nshards,
+                "slices_union_bitexact": exact,
+                "occupied_voxels": int(occ_full.sum()),
+                "table_build_s": round(build_s, 1),
+            },
+        }), flush=True)
+    return all_exact
 
 
 def _save_cached_tables(cache, btab):

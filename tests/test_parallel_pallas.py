@@ -114,14 +114,18 @@ def _single_chip_reference(fz, frames_one, btab, mask_params):
 
 
 @pytest.mark.parametrize(
-    "sup,frames_n,cam_ways,grid_ways",
+    "sup,frames_n,cam_ways,grid_ways,order_mode",
     [
-        ((1, 1, 1), 1, 4, 2),  # nsuper=64, divides 8 evenly
-        ((2, 2, 4), 1, 4, 2),  # nsuper=4 → padded to 8 (pad-block gate)
-        ((1, 1, 1), 2, 2, 2),  # data axis + 2-camera shards
+        ((1, 1, 1), 1, 4, 2, None),  # nsuper=64, divides 8 evenly
+        ((2, 2, 4), 1, 4, 2, None),  # nsuper=4 → padded to 8 (pad gate)
+        ((1, 1, 1), 2, 2, 2, None),  # data axis + 2-camera shards
+        ((1, 1, 1), 1, 4, 2, "strided"),  # balanced superblock order
+        ((2, 2, 4), 1, 4, 2, "strided"),  # …with interleaved pad blocks
     ],
 )
-def test_sharded_production_step_bitwise(sup, frames_n, cam_ways, grid_ways):
+def test_sharded_production_step_bitwise(
+    sup, frames_n, cam_ways, grid_ways, order_mode
+):
     cams, grid, btab = _rig(sup)
     fz, frames = _synthetic_state_and_frames(frames_n)
     mask_params = DEFAULT_MASK_PARAMS[:C]
@@ -134,7 +138,12 @@ def test_sharded_production_step_bitwise(sup, frames_n, cam_ways, grid_ways):
         "data": frames_n, "cam": cam_ways, "grid": grid_ways,
     }
 
-    st = pallas_sharded.shard_block_tables(mesh, btab)
+    order = None
+    if order_mode is not None:
+        order = pallas_sharded.superblock_order(
+            btab.nsuper, cam_ways * grid_ways, order_mode
+        )
+    st = pallas_sharded.shard_block_tables(mesh, btab, order=order)
     step = pallas_sharded.sharded_production_step(
         mesh, st.local_static, use_hsv=True, views_threshold=4,
         interpret=True,
@@ -146,7 +155,9 @@ def test_sharded_production_step_bitwise(sup, frames_n, cam_ways, grid_ways):
     occ_b, col_b, ovf = step(
         *placed, st.pk, st.lcc, st.vorig, st.uorig, st.allv, st.ry, st.rx
     )
-    occ_b, col_b = pallas_sharded.unpad_blocked(occ_b, col_b, btab)
+    occ_b, col_b = pallas_sharded.unshuffle_blocked(
+        occ_b, col_b, btab, st.order
+    )
     occ_b = np.asarray(occ_b)
     col_b = np.asarray(col_b)
     ovf = np.asarray(ovf)
@@ -186,10 +197,19 @@ def test_padding_blocks_are_inert():
     assert np.asarray(col_b)[:, btab.nsuper :].sum() == 0
 
 
-@pytest.mark.parametrize("sup,nshards", [((1, 1, 1), 8), ((2, 2, 4), 3)])
-def test_local_table_slice_union_is_exact(sup, nshards):
+@pytest.mark.parametrize(
+    "sup,nshards,order_mode",
+    [
+        ((1, 1, 1), 8, None),
+        ((2, 2, 4), 3, None),
+        ((1, 1, 1), 8, "strided"),
+        ((1, 1, 1), 5, "cost"),  # pad interleaves under LPT too
+    ],
+)
+def test_local_table_slice_union_is_exact(sup, nshards, order_mode):
     """Per-shard local programs (scripts/bench_sharded_production.py)
-    tile the full carve exactly: union of slice outputs == full output."""
+    tile the full carve exactly: union of slice outputs == full output —
+    for every superblock→shard assignment mode."""
     cams, grid, btab = _rig(sup)
     fz, frames = _synthetic_state_and_frames(1)
     _, _, masks = (None, None, None)
@@ -230,16 +250,74 @@ def test_local_table_slice_union_is_exact(sup, nshards):
         ms.append(jnp.where(m > 0, jnp.uint8(255), jnp.uint8(0)))
     masks = jnp.stack(ms)
 
+    order = None
+    if order_mode is not None:
+        costs = None
+        if order_mode == "cost":
+            costs = pallas_sharded.superblock_costs(
+                btab, np.asarray(masks), views_threshold=4
+            )
+        order = pallas_sharded.superblock_order(
+            btab.nsuper, nshards, order_mode, costs=costs
+        )
+
     occ_parts, col_parts = [], []
     for k in range(nshards):
-        loc = pallas_sharded.local_table_slice(btab, k, nshards)
+        loc = pallas_sharded.local_table_slice(btab, k, nshards,
+                                               order=order)
         o, cl = carve_pallas.carve_blocked(
             masks, jnp.asarray(frames[0][1]), loc,
             views_threshold=4, interpret=True, layout="blocked",
         )
         occ_parts.append(np.asarray(o))
         col_parts.append(np.asarray(cl))
-    occ_u = np.concatenate(occ_parts, axis=0)[: btab.nsuper]
-    col_u = np.concatenate(col_parts, axis=0)[: btab.nsuper]
-    assert (occ_u == occ_full).all()
-    assert (col_u == col_full).all()
+    occ_u = np.concatenate(occ_parts, axis=0)[None]
+    col_u = np.concatenate(col_parts, axis=0)[None]
+    occ_u, col_u = pallas_sharded.unshuffle_blocked(
+        occ_u, col_u, btab, order
+    )
+    assert (occ_u[0] == occ_full).all()
+    assert (col_u[0] == col_full).all()
+
+
+class TestSuperblockOrder:
+    def test_modes_are_permutations(self):
+        costs = np.arange(10, dtype=np.float64) ** 2
+        for mode, c in (("contiguous", None), ("strided", None),
+                        ("cost", costs)):
+            order = pallas_sharded.superblock_order(10, 4, mode, costs=c)
+            assert sorted(order.tolist()) == list(range(12))
+
+    def test_strided_pattern(self):
+        order = pallas_sharded.superblock_order(8, 4, "strided")
+        np.testing.assert_array_equal(
+            order, [0, 4, 1, 5, 2, 6, 3, 7]
+        )  # shard k slice = ids ≡ k (mod 4)
+
+    def test_cost_mode_balances_better_than_contiguous(self):
+        rng = np.random.default_rng(0)
+        # slab-concentrated costs, like a centered subject
+        x = np.arange(64, dtype=np.float64)
+        costs = np.exp(-((x - 30) ** 2) / 40.0) + 0.01 * rng.random(64)
+
+        def imbalance(order, nshards=8):
+            c = np.concatenate([costs, np.zeros(len(order) - 64)])
+            per = c[order].reshape(nshards, -1).sum(axis=1)
+            return per.max() / per.mean()
+
+        contig = pallas_sharded.superblock_order(64, 8, "contiguous")
+        lpt = pallas_sharded.superblock_order(64, 8, "cost", costs=costs)
+        strided = pallas_sharded.superblock_order(64, 8, "strided")
+        assert imbalance(lpt) < 1.02
+        assert imbalance(strided) < 1.25
+        assert imbalance(contig) > 2.0
+
+    def test_cost_mode_validates_inputs(self):
+        with pytest.raises(ValueError):
+            pallas_sharded.superblock_order(8, 4, "cost")
+        with pytest.raises(ValueError):
+            pallas_sharded.superblock_order(
+                8, 4, "cost", costs=-np.ones(8)
+            )
+        with pytest.raises(ValueError):
+            pallas_sharded.superblock_order(8, 4, "nope")

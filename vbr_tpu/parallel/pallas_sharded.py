@@ -32,6 +32,28 @@ Superblock padding makes any mesh size legal: tables are padded along
 blocks (zero activity spans, ``allv = 0``), which the kernel skips and
 whose outputs are masked to zero — the pad never changes results.
 
+Load balance — superblock order is free.  The carve kernel's cost per
+superblock is its active-sub-block count, which concentrates where the
+subject stands; contiguous slab sharding therefore leaves most shards
+idle behind one hot slab (measured 3–25 ms per-shard spread at 512³).
+Because every per-superblock table (and the ``perm`` canonical-index
+map) is gathered by the SAME permutation, any reordering of the
+``nsuper`` axis is exact — so :func:`shard_block_tables` /
+:func:`local_table_slice` accept an ``order`` from
+:func:`superblock_order`:
+
+  * ``"contiguous"`` — the identity (z-major slabs; the r3 behavior),
+  * ``"strided"``    — shard k takes superblocks ``k, k+S, k+2S, …``:
+    mask-independent, and balanced for any spatially smooth activity
+    distribution (the production default),
+  * ``"cost"``       — capacity-bounded LPT over measured per-superblock
+    activity costs from a representative frame's masks
+    (:func:`superblock_costs`); the tightest balance when a costing
+    frame is available.
+
+Outputs come back in shard order; :func:`unshuffle_blocked` inverts the
+permutation (and drops the pad) for canonical-order consumers.
+
 Heterogeneous per-camera morphology flags (assignment.py:28-33 gives
 camera 3 a pre-close the others lack) cannot be static branches under
 SPMD — every shard runs ONE program.  They flow in as a (C, 4) bool
@@ -73,6 +95,9 @@ class ShardedTables:
     rx: jnp.ndarray
     nsuper_pad: int
     local_static: Tuple  # tables_static_tuple with nsuper = per-shard count
+    # superblock→slot permutation the tables were placed with (None =
+    # contiguous/identity); needed to unshuffle blocked outputs
+    order: np.ndarray = None
 
 
 def mask_flags_array(mask_params: Tuple[MaskParams, ...]) -> np.ndarray:
@@ -87,51 +112,154 @@ def mask_flags_array(mask_params: Tuple[MaskParams, ...]) -> np.ndarray:
     )
 
 
-def shard_block_tables(
-    mesh: Mesh, tables: carve_pallas.BlockTables
-) -> ShardedTables:
-    """Pad ``nsuper`` to the shard count and place every table with its
-    carve-stage sharding (superblocks over ``("cam", "grid")`` jointly,
-    camera/feature axes replicated)."""
-    S = mesh.shape["cam"] * mesh.shape["grid"]
+def superblock_order(
+    nsuper: int, nshards: int, mode: str = "strided", costs=None
+) -> np.ndarray:
+    """Superblock→shard-slot permutation over the PADDED block count.
+
+    Returns an int64 array of length ``nsuper_pad`` (``nsuper`` rounded
+    up to a multiple of ``nshards``); slot ``j`` holds padded superblock
+    id ``order[j]`` (ids ≥ ``nsuper`` are the inactive pad), and shard
+    ``k``'s local slice is the contiguous ``order[k·nloc:(k+1)·nloc]``.
+
+    Modes: ``"contiguous"`` (identity — z-major slabs), ``"strided"``
+    (shard k gets ids ``k, k+S, 2S+k, …`` — mask-independent balance),
+    ``"cost"`` (capacity-bounded longest-processing-time greedy over
+    ``costs``, one (nsuper,) nonnegative cost per superblock, e.g. from
+    :func:`superblock_costs`; pad ids cost 0).
+    """
+    pad = (-nsuper) % nshards
+    npd = nsuper + pad
+    nloc = npd // nshards
+    if mode == "contiguous":
+        return np.arange(npd, dtype=np.int64)
+    if mode == "strided":
+        return np.arange(npd, dtype=np.int64).reshape(nloc, nshards).T.ravel()
+    if mode != "cost":
+        raise ValueError(f"unknown superblock order mode {mode!r}")
+    if costs is None or len(costs) != nsuper:
+        raise ValueError("mode='cost' needs one cost per superblock")
+    c = np.zeros(npd, np.float64)
+    c[:nsuper] = np.asarray(costs, np.float64)
+    if (c < 0).any():
+        raise ValueError("costs must be nonnegative")
+    bins = [[] for _ in range(nshards)]
+    totals = np.zeros(nshards, np.float64)
+    for i in np.argsort(-c, kind="stable"):
+        open_ = np.array([len(b) < nloc for b in bins])
+        k = int(np.argmin(np.where(open_, totals, np.inf)))
+        bins[k].append(int(i))
+        totals[k] += c[i]
+    return np.concatenate([np.asarray(b, np.int64) for b in bins])
+
+
+def superblock_costs(
+    tables: carve_pallas.BlockTables, masks, views_threshold: int
+) -> np.ndarray:
+    """(nsuper,) per-superblock carve-cost estimate for ``mode="cost"``.
+
+    Uses the kernel's own exact activity/full pruning flags on a
+    representative frame's (C, H, W) u8 masks: a computed sub-block
+    costs 1 (C one-hot matmuls + gated color gather), a provably-full
+    one ~0.25 (color gather only), an inactive one ~0.  The subject
+    moves between frames, so costs from one frame are an approximation
+    for the rest — ``"strided"`` is the robust mask-free default,
+    ``"cost"`` the tightest balance for a known scene.
+    """
+    active, full = carve_pallas._block_activity(
+        jnp.asarray(masks), views_threshold, tables.allv, tables.ry,
+        tables.rx,
+    )
+    a = np.asarray(active).reshape(tables.nsuper, tables.nsub)
+    f = np.asarray(full).reshape(tables.nsuper, tables.nsub)
+    return (
+        (a * (1 - f)).sum(axis=1)
+        + 0.25 * (a * f).sum(axis=1)
+        + 0.02  # per-superblock dispatch overhead
+    ).astype(np.float64)
+
+
+def _padded_gather(tables: carve_pallas.BlockTables, nshards: int,
+                   order: np.ndarray | None, lo: int = 0, hi=None):
+    """Gather slot rows ``[lo:hi)`` of every per-superblock table as if it
+    were padded to the shard multiple and permuted by ``order`` (slot j ←
+    padded id ``order[j]``; ids ≥ nsuper are inactive pad rows) — without
+    materializing the full padded copies (the 512³ tables are ~4 GB).
+    Returns (dict of numpy arrays, nsuper_pad)."""
     nsuper, nsub = tables.nsuper, tables.nsub
-    pad = (-nsuper) % S
-    nsuper_pad = nsuper + pad
-
-    def pad0(x):
-        x = np.asarray(x)
-        if pad == 0:
-            return x
-        return np.concatenate(
-            [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+    pad = (-nsuper) % nshards
+    npd = nsuper + pad
+    if order is None:
+        order = np.arange(npd, dtype=np.int64)
+    if len(order) != npd or not np.array_equal(
+        np.sort(np.asarray(order)), np.arange(npd)
+    ):
+        raise ValueError(
+            f"order must be a permutation of range({npd}) "
+            "(padded superblock count)"
         )
+    if hi is None:
+        hi = npd
+    ids = np.asarray(order[lo:hi])
+    is_pad = ids >= nsuper
+    safe = np.where(is_pad, 0, ids)
 
-    def pad1(x):  # (C, nblk, L): nblk is nsuper-major, pad whole blocks
+    def take0(x, fill=0):
+        out = np.asarray(x)[safe]
+        if is_pad.any():
+            out = out.copy()
+            out[is_pad] = fill
+        return out
+
+    def take1(x):  # (C, nblk, L): nblk is nsuper-major, gather whole blocks
         x = np.asarray(x)
-        if pad == 0:
-            return x
-        z = np.zeros((x.shape[0], pad * nsub, x.shape[2]), x.dtype)
-        return np.concatenate([x, z], axis=1)
+        x = x.reshape(x.shape[0], nsuper, nsub, x.shape[2])
+        out = x[:, safe]
+        if is_pad.any():
+            out = out.copy()
+            out[:, is_pad] = 0
+        return out.reshape(x.shape[0], len(ids) * nsub, x.shape[3])
 
+    out = {
+        "pk": take0(tables.pk),
+        "lcc": take0(tables.lcc, fill=-1),  # pad: no valid color column
+        "vorig": take0(tables.vorig),
+        "uorig": take0(tables.uorig),
+        "allv": take0(tables.allv),
+        "ry": take1(tables.ry),
+        "rx": take1(tables.rx),
+    }
+    if tables.perm is not None:
+        out["perm"] = take0(tables.perm)
+    return out, npd
+
+
+def shard_block_tables(
+    mesh: Mesh, tables: carve_pallas.BlockTables,
+    order: np.ndarray | None = None,
+) -> ShardedTables:
+    """Pad ``nsuper`` to the shard count, apply the superblock→slot
+    ``order`` (see :func:`superblock_order`; None = contiguous), and
+    place every table with its carve-stage sharding (superblocks over
+    ``("cam", "grid")`` jointly, camera/feature axes replicated)."""
+    S = mesh.shape["cam"] * mesh.shape["grid"]
+    g, nsuper_pad = _padded_gather(tables, S, order)
     put = lambda x, spec: jax.device_put(
         jnp.asarray(x), NamedSharding(mesh, spec)
     )
-    blk = P(("cam", "grid"))
-    lcc_p = pad0(tables.lcc)
-    if pad:
-        lcc_p[nsuper:] = -1  # pad blocks: no valid color column
     st = list(carve_pallas.tables_static_tuple(tables))
     st[1] = nsuper_pad // S  # local per-shard superblock count
     return ShardedTables(
-        pk=put(pad0(tables.pk), P(("cam", "grid"), None, None, None)),
-        lcc=put(lcc_p, P(("cam", "grid"), None, None)),
-        vorig=put(pad0(tables.vorig), P(("cam", "grid"), None, None)),
-        uorig=put(pad0(tables.uorig), P(("cam", "grid"), None, None)),
-        allv=put(pad0(tables.allv), P(("cam", "grid"), None)),
-        ry=put(pad1(tables.ry), P(None, ("cam", "grid"), None)),
-        rx=put(pad1(tables.rx), P(None, ("cam", "grid"), None)),
+        pk=put(g["pk"], P(("cam", "grid"), None, None, None)),
+        lcc=put(g["lcc"], P(("cam", "grid"), None, None)),
+        vorig=put(g["vorig"], P(("cam", "grid"), None, None)),
+        uorig=put(g["uorig"], P(("cam", "grid"), None, None)),
+        allv=put(g["allv"], P(("cam", "grid"), None)),
+        ry=put(g["ry"].astype(jnp.bfloat16), P(None, ("cam", "grid"), None)),
+        rx=put(g["rx"].astype(jnp.bfloat16), P(None, ("cam", "grid"), None)),
         nsuper_pad=nsuper_pad,
         local_static=tuple(st),
+        order=None if order is None else np.asarray(order),
     )
 
 
@@ -277,56 +405,55 @@ def place_production_inputs(
 
 
 def unpad_blocked(occ_b, col_b, tables: carve_pallas.BlockTables):
-    """Drop the shard-count padding: (F, nsuper_pad, ...) → (F, nsuper, ...)."""
+    """Drop the shard-count padding: (F, nsuper_pad, ...) → (F, nsuper, ...).
+
+    Contiguous (order=None) placements only — with a superblock ``order``
+    the pad slots are interleaved; use :func:`unshuffle_blocked`."""
     return occ_b[:, : tables.nsuper], col_b[:, : tables.nsuper]
 
 
+def unshuffle_blocked(occ_b, col_b, tables: carve_pallas.BlockTables,
+                      order: np.ndarray | None):
+    """Invert the superblock ``order`` on blocked outputs and drop the
+    pad: slot j holds padded superblock ``order[j]``, so canonical
+    position i is slot ``argsort(order)[i]``.  (F, nsuper_pad, ...) →
+    (F, nsuper, ...) in the tables' canonical blocked order."""
+    if order is None:
+        return unpad_blocked(occ_b, col_b, tables)
+    inv = np.argsort(np.asarray(order))[: tables.nsuper]
+    return occ_b[:, inv], col_b[:, inv]
+
+
 def local_table_slice(
-    tables: carve_pallas.BlockTables, shard: int, nshards: int
+    tables: carve_pallas.BlockTables, shard: int, nshards: int,
+    order: np.ndarray | None = None,
 ) -> carve_pallas.BlockTables:
     """One shard's padded superblock slice as a standalone BlockTables.
 
     This is EXACTLY the table operand of shard ``shard``'s local program
-    in :func:`sharded_production_step` — running ``carve_blocked`` on it
-    on a single chip measures the sharded step's per-shard carve cost
-    without multi-chip hardware (the only omitted work is the mask
-    all_gather, whose ICI cost is reported analytically by
+    in :func:`sharded_production_step` (placed with the same ``order``,
+    see :func:`superblock_order`) — running ``carve_blocked`` on it on a
+    single chip measures the sharded step's per-shard carve cost without
+    multi-chip hardware (the only omitted work is the mask all_gather,
+    whose ICI cost is reported analytically by
     scripts/bench_sharded_production.py).  Blocked-layout consumers only
     (``perm`` covers the slice, for canonicalizing against the matching
     slice of the full grid).
     """
-    nsuper, nsub = tables.nsuper, tables.nsub
-    pad = (-nsuper) % nshards
-    nloc = (nsuper + pad) // nshards
-    lo, hi = shard * nloc, (shard + 1) * nloc
-
-    def sl0(x, fill=0):
-        x = np.asarray(x)
-        if hi > nsuper:
-            x = np.concatenate(
-                [x, np.full((hi - nsuper,) + x.shape[1:], fill, x.dtype)],
-                axis=0,
-            )
-        return x[lo:hi]
-
-    def sl1(x):
-        x = np.asarray(x)
-        if hi * nsub > x.shape[1]:
-            z = np.zeros(
-                (x.shape[0], hi * nsub - x.shape[1], x.shape[2]), x.dtype
-            )
-            x = np.concatenate([x, z], axis=1)
-        return x[:, lo * nsub : hi * nsub]
-
+    npd = tables.nsuper + (-tables.nsuper) % nshards
+    nloc = npd // nshards
+    g, _ = _padded_gather(
+        tables, nshards, order, shard * nloc, (shard + 1) * nloc
+    )
     return dataclasses.replace(
         tables,
         nsuper=nloc,
-        pk=jnp.asarray(sl0(tables.pk)),
-        lcc=jnp.asarray(sl0(tables.lcc, fill=-1)),
-        vorig=jnp.asarray(sl0(tables.vorig)),
-        uorig=jnp.asarray(sl0(tables.uorig)),
-        allv=jnp.asarray(sl0(tables.allv)),
-        ry=jnp.asarray(sl1(tables.ry), dtype=jnp.bfloat16),
-        rx=jnp.asarray(sl1(tables.rx), dtype=jnp.bfloat16),
-        perm=sl0(tables.perm) if tables.perm is not None else None,
+        pk=jnp.asarray(g["pk"]),
+        lcc=jnp.asarray(g["lcc"]),
+        vorig=jnp.asarray(g["vorig"]),
+        uorig=jnp.asarray(g["uorig"]),
+        allv=jnp.asarray(g["allv"]),
+        ry=jnp.asarray(g["ry"], dtype=jnp.bfloat16),
+        rx=jnp.asarray(g["rx"], dtype=jnp.bfloat16),
+        perm=g["perm"] if tables.perm is not None else None,
     )
