@@ -321,3 +321,79 @@ class TestSuperblockOrder:
             )
         with pytest.raises(ValueError):
             pallas_sharded.superblock_order(8, 4, "nope")
+
+
+class TestVisualHullShardedRunner:
+    """User-facing seam: VisualHull.sharded_runner == single-chip step."""
+
+    def _model(self):
+        import dataclasses
+
+        from vbr_tpu.models.visual_hull import VisualHull
+        from vbr_tpu.pipelines import background
+        from vbr_tpu.utils.config import MOGParams, RigConfig
+
+        cams = synthetic.synthetic_cameras(C, image_hw=(H, W), f=80.0)
+        grid = GridConfig(
+            nx=32, ny=32, nz=32,
+            x_min=-900, x_max=1100, y_min=-1050, y_max=950,
+            z_min=-1700, z_max=300,
+        )
+        # small synthetic figure → scale the production area thresholds
+        mask_params = tuple(
+            dataclasses.replace(p, figure_threshold=40.0,
+                                inner_threshold=8.0)
+            for p in DEFAULT_MASK_PARAMS[:C]
+        )
+        model = VisualHull(
+            cams, grid,
+            RigConfig(image_height=H, image_width=W),
+            mask_params=mask_params,
+        )
+        rng = np.random.default_rng(5)
+        bg = rng.integers(0, 200, size=(C, 6, H, W, 3), dtype=np.uint8)
+        p = MOGParams(history=6)
+        model.bg_states = [
+            background.train_background_model(bg[c], p) for c in range(C)
+        ]
+        model.mog_params = [p] * C
+        frames = bg[:, 0].copy()
+        frames[:, 14:44, 22:60] = 255  # person stand-in
+        return model, np.stack([frames, frames])  # F=2 identical frames
+
+    @pytest.mark.parametrize("order", ["strided", "cost"])
+    def test_runner_matches_single_chip(self, order):
+        from vbr_tpu.ops import carve_pallas as cpk
+
+        model, frames = self._model()
+        mesh = carve_sharded.make_carve_mesh(
+            8, num_cameras=2, frame_batch=2
+        )  # (data=2, cam=2, grid=2)
+        run = model.sharded_runner(
+            mesh, order=order,
+            costing_frames=frames[0] if order == "cost" else None,
+            interpret=True,
+        )
+        occ_b, col_b = run(frames)
+        assert occ_b.shape[0] == 2
+
+        masks0 = model.masks(frames[0])
+        occ_ref, col_ref = cpk.carve_blocked(
+            jnp.asarray(masks0), jnp.asarray(frames[0][1]),
+            model._btab, views_threshold=4, interpret=True,
+            layout="blocked",
+        )
+        assert np.asarray(occ_ref).sum() > 0, "degenerate: nothing carved"
+        for f in range(2):  # identical input frames → identical outputs
+            assert (occ_b[f] == np.asarray(occ_ref)).all()
+            assert (col_b[f] == np.asarray(col_ref)).all()
+
+    def test_runner_validates_inputs(self):
+        model, frames = self._model()
+        mesh = carve_sharded.make_carve_mesh(8, num_cameras=2,
+                                             frame_batch=2)
+        with pytest.raises(ValueError, match="costing_frames"):
+            model.sharded_runner(mesh, order="cost", interpret=True)
+        run = model.sharded_runner(mesh, interpret=True)
+        with pytest.raises(ValueError, match="data-axis"):
+            run(frames[:1])
