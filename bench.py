@@ -319,6 +319,46 @@ def main():
         except Exception as e:  # never fail the headline on this
             out.extra(fused_pipeline_error=f"{type(e).__name__}: {e}")
 
+        # Balanced grid sharding (cost-LPT superblock order): the honest
+        # single-chip protocol — time each of the 8 shards' actual local
+        # Pallas program and report the critical path (max) plus the ICI
+        # mask/frame all_gather bound (v5e ring, 45 GB/s per link).
+        try:
+            from vbr_tpu.parallel import pallas_sharded
+
+            nsh = 8
+            costs = pallas_sharded.superblock_costs(
+                btab, masks, rig.views_threshold
+            )
+            order = pallas_sharded.superblock_order(
+                btab.nsuper, nsh, "cost", costs=costs
+            )
+            shard_ms = []
+            for k in range(nsh):
+                loc = pallas_sharded.local_table_slice(
+                    btab, k, nsh, order=order
+                )
+
+                def step_shard():
+                    return carve_pallas.carve_blocked(
+                        masks_d, frame_color, loc,
+                        views_threshold=rig.views_threshold,
+                        layout="blocked",
+                    )
+
+                # sub-ms kernels need the full-strength marginal protocol
+                # (tunnel sync noise ~ the signal at weaker settings)
+                m_k, _, _ = _marginal_ms(step_shard, max(24, iters))
+                shard_ms.append(m_k)
+            ici_ms = (nsh - 1) / nsh * masks.size * 4 / 45e9 * 1e3
+            out.extra(
+                sharded_cost_lpt_ms_per_frame=round(max(shard_ms) + ici_ms, 4),
+                sharded_cost_lpt_shard_ms=[round(m, 3) for m in shard_ms],
+                sharded_shards=nsh,
+            )
+        except Exception as e:  # never fail the headline on this
+            out.extra(sharded_error=f"{type(e).__name__}: {e}")
+
     if fallback and "VBR_BENCH_KERNEL" in os.environ:
         return 2  # explicit kernel request not honored: fail loudly
     return 0
