@@ -57,12 +57,15 @@ def _marginal_ms(fn, iters=24):
 
     run(2)
     run(2)
-    margs = []
+    margs, means = [], []
     for _ in range(3):
         t_h, t_f = run(half), run(iters)
         margs.append((t_f - t_h) / (iters - half))
+        means.append(t_f / iters)
     m = sorted(margs)[1]
-    return (m if m > 0 else t_f / iters) * 1e3
+    if m <= 0:  # noise-dominated: median of means, not one leaked sample
+        m = sorted(means)[1]
+    return m * 1e3
 
 
 def bench_config(name, cams, grid, masks, frames, views_threshold,
@@ -74,14 +77,15 @@ def bench_config(name, cams, grid, masks, frames, views_threshold,
     from vbr_tpu.parallel import pallas_sharded
 
     t0 = time.time()
+    btab = None
     if cache and os.path.exists(cache):
-        btab = _load_cached_tables(cache, cams, grid)
-    else:
+        btab = _load_cached_tables(cache, cams, grid, masks.shape[1:3])
+    if btab is None:
         btab = cpk.build_block_tables(
             cams, grid, masks.shape[1:3], color_camera=1
         )
         if cache:
-            _save_cached_tables(cache, btab)
+            _save_cached_tables(cache, btab, cams)
     build_s = time.time() - t0
 
     masks_d = jnp.asarray(masks)
@@ -163,7 +167,27 @@ def bench_config(name, cams, grid, masks, frames, views_threshold,
     return all_exact
 
 
-def _save_cached_tables(cache, btab):
+def _table_fingerprint(btab, cams):
+    """Geometry the cached arrays are only valid for: grid/block shapes,
+    image size, camera count + a hash of every camera's parameters.  A
+    stale or foreign cache must rebuild, not silently publish numbers
+    from corrupt tables."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for cp in cams:
+        for a in (cp.K, cp.dist, cp.rvec, cp.tvec):
+            h.update(np.ascontiguousarray(np.asarray(a, np.float64)))
+    return np.array(
+        list(btab.grid_shape) + list(btab.sub_shape) + list(btab.sup_shape)
+        + list(btab.image_hw)
+        + [btab.num_cameras, btab.color_camera]
+        + list(np.frombuffer(h.digest()[:16], np.int64)),
+        np.int64,
+    )
+
+
+def _save_cached_tables(cache, btab, cams):
     np.savez(
         cache,
         pk=np.asarray(btab.pk), lcc=np.asarray(btab.lcc),
@@ -172,22 +196,28 @@ def _save_cached_tables(cache, btab):
         ry=np.asarray(btab.ry).astype(np.int8),
         rx=np.asarray(btab.rx).astype(np.int8),
         meta=np.array([btab.WH, btab.WC, btab.Hp, btab.Wc], np.int64),
+        fingerprint=_table_fingerprint(btab, cams),
     )
 
 
-def _load_cached_tables(cache, cams, grid):
+def _load_cached_tables(cache, cams, grid, image_hw):
+    """Rehydrate cached tables, or return None when the cache's stored
+    fingerprint does not match this run's geometry/cameras (then the
+    caller rebuilds — a stale cache must never publish numbers)."""
     import jax.numpy as jnp
 
     from vbr_tpu.ops import carve_pallas as cpk
 
+    H, W = image_hw
     z = np.load(cache)
     WH, WC, Hp, Wc = [int(v) for v in z["meta"][:4]]
     perm, nblocks = cpk._blocked_permutation(grid.shape, (8, 8, 8), (2, 2, 4))
-    return cpk.BlockTables(
+    btab = cpk.BlockTables(
         grid_shape=grid.shape, sub_shape=(8, 8, 8), sup_shape=(2, 2, 4),
         nblocks=nblocks, nsuper=perm.shape[0], nsub=perm.shape[1],
-        num_cameras=len(cams), image_hw=(486, 644), Hp=Hp,
-        n_words=81, Wc=Wc, WH=WH, WC=WC, color_camera=1,
+        num_cameras=len(cams), image_hw=(H, W), Hp=Hp,
+        n_words=-(-W // cpk.WORD_BITS), Wc=Wc, WH=WH, WC=WC,
+        color_camera=1,
         pk=jnp.asarray(z["pk"]), lcc=jnp.asarray(z["lcc"]),
         vorig=jnp.asarray(z["vorig"]), uorig=jnp.asarray(z["uorig"]),
         allv=jnp.asarray(z["allv"]),
@@ -195,6 +225,13 @@ def _load_cached_tables(cache, cams, grid):
         rx=jnp.asarray(z["rx"], dtype=jnp.bfloat16),
         perm=perm,
     )
+    want = _table_fingerprint(btab, cams)
+    got = z["fingerprint"] if "fingerprint" in z.files else None
+    if got is None or got.shape != want.shape or not (got == want).all():
+        print(f"# cache {cache} fingerprint mismatch (stale/foreign); "
+              "rebuilding tables", file=sys.stderr)
+        return None
+    return btab
 
 
 def main():

@@ -62,6 +62,8 @@ def _eval_reproj(K, dist, corner_views, pattern, square):
                 pass
         if best is not None:
             errs.append(best)
+    if not errs:  # solve_pnp failed on every view at this offset
+        return float("nan")
     return float(np.mean(errs))
 
 
@@ -144,6 +146,12 @@ def main():
     ]
     r0 = dict(syn_rows)[0.0]
     r24 = dict(syn_rows)[24.0]
+    if not (np.isfinite(r0) and np.isfinite(r24)):
+        raise RuntimeError(
+            "solve_pnp failed on every view at offset 0 or 24 px — the "
+            "sweep cannot support a conclusion; fix the fixture before "
+            "regenerating the report"
+        )
     lines += [
         f"At the observed 24 px drift the synthetic curve rises only "
         f"{r24 - r0:+.3f} px over its truth value ({r0:.3f} px) — the "

@@ -205,11 +205,14 @@ def cmd_calibrate(args):
             try:
                 # needs per-camera background.avi + video.avi; a rig with
                 # only checkerboard footage can't vote (ADVICE r3) — fall
-                # through to the 180°-ambiguity warning instead of raising
+                # through to the 180°-ambiguity warning instead of raising.
+                # Missing footage surfaces as FileNotFoundError
+                # (utils.video._capture); anything else is a real bug and
+                # must propagate, not masquerade as absent files.
                 sil = auto_ext.quick_person_masks(
                     args.data, len(cams), cam_indices=cams
                 )
-            except Exception as e:
+            except FileNotFoundError as e:
                 print(f"orientation vote skipped ({e}); an "
                       f"{board[0]}x{board[1]} board has a 180° rotational "
                       "symmetry — align orientations across cameras "

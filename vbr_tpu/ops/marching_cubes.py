@@ -472,6 +472,11 @@ def extract_mesh(
         raise ValueError(f"unknown ambiguity rule {ambiguity!r}")
     if algorithm == "tetrahedra" and level != 0.5:
         raise ValueError("level is only supported with algorithm='cubes'")
+    if algorithm == "tetrahedra" and ambiguity != "separate":
+        raise ValueError(
+            "ambiguity is only supported with algorithm='cubes' (the "
+            "6-tet decomposition has no ambiguous faces)"
+        )
     if algorithm == "tetrahedra":
         emit = _emit_triangles
         tris_per_cell = 12

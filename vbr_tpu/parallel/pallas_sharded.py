@@ -230,7 +230,10 @@ def _padded_gather(tables: carve_pallas.BlockTables, nshards: int,
         "rx": take1(tables.rx),
     }
     if tables.perm is not None:
-        out["perm"] = take0(tables.perm)
+        # pad rows get the -1 sentinel: a pad block has NO canonical voxel
+        # indices, and a 0-fill would alias real voxel 0 under any
+        # scatter-by-perm canonicalization of a padded slice
+        out["perm"] = take0(tables.perm, fill=-1)
     return out, npd
 
 
@@ -290,7 +293,6 @@ def sharded_production_step(
     host-CCL fallback contract of the single-chip path.
     """
     color_camera = local_static[6]
-    cam_ways = mesh.shape["cam"]
 
     def _local(frames, fz_mean, fz_thr, fz_bcount, fig_thr, inner_thr,
                morph, pk, lcc, vorig, uorig, allv, ry, rx):
@@ -438,7 +440,8 @@ def local_table_slice(
     whose ICI cost is reported analytically by
     scripts/bench_sharded_production.py).  Blocked-layout consumers only
     (``perm`` covers the slice, for canonicalizing against the matching
-    slice of the full grid).
+    slice of the full grid; pad rows carry the ``-1`` sentinel and must
+    be masked before any scatter-by-perm).
     """
     npd = tables.nsuper + (-tables.nsuper) % nshards
     nloc = npd // nshards

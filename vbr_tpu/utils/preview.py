@@ -45,9 +45,11 @@ def show_result(window: str, image: np.ndarray, ms: int) -> bool:
 
 
 def close_all() -> None:
-    """Destroy any preview windows (no-op when previews never opened)."""
-    if _DISABLED:
-        return
+    """Destroy any preview windows.
+
+    Always attempts the destroy (windows opened before a mid-run display
+    failure set ``_DISABLED`` must still be torn down); swallows errors
+    from headless cv2 builds."""
     try:
         import cv2
 
