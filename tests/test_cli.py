@@ -169,3 +169,20 @@ def test_cli_render_headless_png(rig_dir, out_dir):
     img = cv2.imread(png)
     assert img is not None and img.shape[0] > 100
     assert img.std() > 1.0  # not a blank canvas
+
+
+def test_cli_render_animate_mp4(rig_dir, out_dir):
+    """--animate N streams frames through the pipeline and encodes an
+    orbit mp4 (splat renderer on CPU; the GL path shares the loop)."""
+    mp4 = os.path.join(out_dir, "anim.mp4")
+    cli.main(["render", "--cpu", "--data", rig_dir, "--out-dir", out_dir,
+              "--grid", "16", "--animate", "2", "--png", mp4])
+    import cv2
+
+    cap = cv2.VideoCapture(mp4)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    ok, frame = cap.read()
+    cap.release()
+    assert n == 2 and ok
+    assert frame.shape == (720, 1280, 3)
+    assert frame.std() > 1.0

@@ -519,6 +519,8 @@ def cmd_render(args):
     from vbr_tpu.viewer import headless
 
     grid, cams, recon, pipe = _carve_setup(args)
+    if args.animate > 0:
+        return _render_animation(args, cams, recon, pipe)
     src = vio.MultiCameraSource(args.data)
     frames = src.next_frames()
     src.release()
@@ -539,43 +541,130 @@ def cmd_render(args):
     print(f"wrote {png} ({len(pos)} voxels)")
 
 
-def _render_gl_offscreen(pos, col, cams, wh=(1280, 720)):
-    """Render the scene through the REAL GL engine (EGL surfaceless)."""
-    from OpenGL import GL as gl
+def orbit_pose(theta_deg: float, radius: float = 38.0, height: float = 24.0,
+               target=(4.0, 6.0, 0.0)):
+    """Camera pose on a horizontal orbit, always looking at ``target``.
 
-    from vbr_tpu.pipelines import reconstruction
-    from vbr_tpu.viewer import gl_engine as eng
-    from vbr_tpu.viewer.offscreen import OffscreenContext
+    Returns (eye, pitch, yaw) in the FlyCamera convention (front vector
+    = (cos yaw·cos pitch, sin pitch, sin yaw·cos pitch))."""
+    th = np.radians(theta_deg)
+    eye = np.array([
+        target[0] + radius * np.cos(th),
+        height,
+        target[2] + radius * np.sin(th),
+    ])
+    d = np.asarray(target, float) - eye
+    dist = np.linalg.norm(d)
+    pitch = float(np.degrees(np.arcsin(d[1] / dist)))
+    yaw = float(np.degrees(np.arctan2(d[2], d[0])))
+    return tuple(eye), pitch, yaw
 
-    W, H = wh
-    with OffscreenContext(W, H) as ctx:
+
+def _render_animation(args, cams, recon, pipe):
+    """`render --animate N`: stream N frames through the production
+    pipeline and encode a GL-rendered orbit video (the showcase the
+    reference's interactive-only viewer cannot export)."""
+    from vbr_tpu.native import VideoSink
+    from vbr_tpu.utils import video as vio
+    from vbr_tpu.viewer import headless
+
+    W, H = 1280, 720
+    out = args.png or os.path.join(args.out_dir, "hull_anim.mp4")
+    if not out.endswith(".mp4"):
+        out += ".mp4"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    renderer = GLSceneRenderer(cams, (W, H)) if args.gl else None
+    src = vio.MultiCameraSource(args.data)
+    n = 0
+    try:
+        with VideoSink(out, fps=12.5, width=W, height=H) as sink:
+            while n < args.animate:
+                frames = src.next_frames()
+                if frames is None:
+                    break
+                masks = pipe.masks_for_frames(frames)
+                pos, col = recon.carve_frame_compact(masks, frames)
+                eye, pitch, yaw = orbit_pose(-135.0 + 360.0 * n / args.animate)
+                if renderer is not None:
+                    img = renderer.render(pos, col, eye, pitch, yaw)
+                else:
+                    img = headless.render_points(
+                        pos, col, eye=eye, image_hw=(H, W)
+                    )
+                sink.write(np.ascontiguousarray(img[..., ::-1]))  # RGB→BGR
+                n += 1
+    finally:
+        src.release()
+        if renderer is not None:
+            renderer.close()
+    print(f"wrote {out} ({n} frames, orbit render)")
+
+
+class GLSceneRenderer:
+    """Reusable offscreen scene renderer through the REAL GL engine
+    (EGL surfaceless): floor + camera markers persist, per-frame voxel
+    instances re-upload, camera pose per frame — the animation analog of
+    the reference viewer's render loop (executable.py:130-165)."""
+
+    def __init__(self, cams, wh=(1280, 720)):
+        from OpenGL import GL as gl
+
+        from vbr_tpu.pipelines import reconstruction
+        from vbr_tpu.viewer import gl_engine as eng
+        from vbr_tpu.viewer.offscreen import OffscreenContext
+
+        self.gl, self.eng = gl, eng
+        self.W, self.H = wh
+        self.ctx = OffscreenContext(self.W, self.H)
+        self.ctx.__enter__()
         gl.glEnable(gl.GL_DEPTH_TEST)
-        prog = eng.compile_program(eng.VERT_SRC, eng.FRAG_SRC)
-        cubes = eng.InstancedCubes()
-        floor = eng.InstancedCubes(max_instances=130 * 130)
-        cam_marks = eng.InstancedCubes(max_instances=16)
-        hdr = eng.HDRPipeline(W, H)
-        cubes.set_instances(np.asarray(pos, np.float32), np.asarray(col, np.float32))
+        self.prog = eng.compile_program(eng.VERT_SRC, eng.FRAG_SRC)
+        self.cubes = eng.InstancedCubes()
+        self.floor = eng.InstancedCubes(max_instances=130 * 130)
+        self.cam_marks = eng.InstancedCubes(max_instances=16)
+        self.hdr = eng.HDRPipeline(self.W, self.H)
         fp, fc = reconstruction.generate_grid(64, 64)
-        floor.set_instances(np.asarray(fp, np.float32), np.asarray(fc, np.float32))
+        self.floor.set_instances(np.asarray(fp, np.float32),
+                                 np.asarray(fc, np.float32))
         cp, cc = reconstruction.get_cam_positions(cams)
-        cam_marks.set_instances(np.asarray(cp, np.float32), np.asarray(cc, np.float32))
+        self.cam_marks.set_instances(np.asarray(cp, np.float32),
+                                     np.asarray(cc, np.float32))
 
-        camera = eng.FlyCamera(position=(28.0, 26.0, 28.0), pitch=-35.0, yaw=-135.0)
-        hdr.bind_scene()
+    def render(self, pos, col, eye=(28.0, 26.0, 28.0), pitch=-35.0,
+               yaw=-135.0):
+        gl, eng = self.gl, self.eng
+        self.cubes.set_instances(np.asarray(pos, np.float32),
+                                 np.asarray(col, np.float32))
+        camera = eng.FlyCamera(position=eye, pitch=pitch, yaw=yaw)
+        self.hdr.bind_scene()
         gl.glClearColor(0.05, 0.05, 0.07, 1.0)
         gl.glClear(gl.GL_COLOR_BUFFER_BIT | gl.GL_DEPTH_BUFFER_BIT)
-        vp = eng.perspective(45.0, W / H, 0.1, 500.0) @ camera.view_matrix()
-        gl.glUseProgram(prog)
+        vp = (eng.perspective(45.0, self.W / self.H, 0.1, 500.0)
+              @ camera.view_matrix())
+        gl.glUseProgram(self.prog)
         gl.glUniformMatrix4fv(
-            gl.glGetUniformLocation(prog, "u_view_proj"), 1, True,
+            gl.glGetUniformLocation(self.prog, "u_view_proj"), 1, True,
             vp.astype(np.float32),
         )
-        for mesh, scale in ((floor, 1.0), (cubes, 0.35), (cam_marks, 1.5)):
-            gl.glUniform1f(gl.glGetUniformLocation(prog, "u_scale"), scale)
+        for mesh, scale in ((self.floor, 1.0), (self.cubes, 0.35),
+                            (self.cam_marks, 1.5)):
+            gl.glUniform1f(gl.glGetUniformLocation(self.prog, "u_scale"),
+                           scale)
             mesh.draw()
-        hdr.resolve(target_fbo=ctx._fbo)
-        return ctx.read_pixels()
+        self.hdr.resolve(target_fbo=self.ctx._fbo)
+        return self.ctx.read_pixels()
+
+    def close(self):
+        self.ctx.__exit__(None, None, None)
+
+
+def _render_gl_offscreen(pos, col, cams, wh=(1280, 720)):
+    """One-shot GL render (see GLSceneRenderer)."""
+    r = GLSceneRenderer(cams, wh)
+    try:
+        return r.render(pos, col)
+    finally:
+        r.close()
 
 
 def cmd_pipeline(args):
@@ -699,6 +788,12 @@ def main(argv=None):
     p.add_argument("--png", default="")
     p.add_argument("--gl", action="store_true",
                    help="render through the real GL engine (EGL offscreen)")
+    p.add_argument(
+        "--animate", type=int, default=0, metavar="N",
+        help="stream N video frames through the pipeline and encode an "
+        "orbit-camera mp4 (--png names the output; GL engine with --gl, "
+        "splat renderer otherwise)",
+    )
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("pipeline")
