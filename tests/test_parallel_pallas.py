@@ -397,3 +397,26 @@ class TestVisualHullShardedRunner:
         run = model.sharded_runner(mesh, interpret=True)
         with pytest.raises(ValueError, match="data-axis"):
             run(frames[:1])
+
+    def test_runner_rebalance_preserves_results(self):
+        """Re-costing/re-placing mid-stream never changes outputs (order
+        is exactness-free); it only moves superblocks between shards."""
+        model, frames = self._model()
+        mesh = carve_sharded.make_carve_mesh(
+            8, num_cameras=2, frame_batch=2
+        )
+        runner = model.sharded_runner(
+            mesh, order="contiguous", interpret=True, rebalance_every=1
+        )
+        occ_a, col_a = runner(frames)  # _runs 0 → no auto rebalance yet
+        # explicit rebalance from the live frame (min_gain=0 forces the
+        # re-place even when the predicted critical path ties)
+        replaced = runner.rebalance(frames[0], min_gain=0.0)
+        assert replaced
+        assert runner.mode == "cost" and runner.costs is not None
+        assert runner.imbalance() >= 1.0
+        # table shards = cam × grid (the data axis replicates tables)
+        assert len(runner.shard_costs()) == 4
+        occ_b, col_b = runner(frames)  # also trips the auto-rebalance hook
+        assert (occ_a == occ_b).all()
+        assert (col_a == col_b).all()

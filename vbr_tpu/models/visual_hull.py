@@ -262,16 +262,17 @@ class VisualHull:
         return occ, col
 
     def sharded_runner(self, mesh, order: str = "strided",
-                       costing_frames=None, interpret=None):
+                       costing_frames=None, interpret=None,
+                       rebalance_every: int = 0) -> "ShardedRunner":
         """The production fused step over a multi-chip ``jax`` mesh.
 
         Builds the shard_map program of ``parallel.pallas_sharded`` (the
         same kernels as :meth:`process_frame_fast`, sharded: frames over
         ``data``, mask stages over ``cam``, carve superblocks jointly
         over ``("cam", "grid")``) with balanced superblock→shard
-        assignment, and returns
+        assignment, and returns a callable :class:`ShardedRunner`:
 
-            ``run(frames (F, C, H, W, 3) u8) -> (occ_b, col_b)``
+            ``runner(frames (F, C, H, W, 3) u8) -> (occ_b, col_b)``
 
         blocked-layout numpy outputs in canonical superblock order with
         a leading frame axis (``F`` must equal ``mesh.shape["data"]``) —
@@ -286,78 +287,18 @@ class VisualHull:
         activity) | ``"contiguous"`` (z-major slabs).  Measured at
         512³×8 on one chip per shard: 24.9 / 21.3 / 15.5 ms per frame
         for contiguous / strided / cost (docs/BENCHMARKS.md).
+
+        Cost placements go stale when the subject moves out of the
+        costed region; ``runner.rebalance(frame)`` re-costs and
+        re-places (a table transfer, never a recompile), and
+        ``rebalance_every=N > 0`` does it automatically every N batches
+        from the batch's own first frame, keeping placements tracking
+        the scene (see :class:`ShardedRunner`).
         """
-        from vbr_tpu.parallel import pallas_sharded
-
-        self._ensure_fast_state()
-        self._ensure_btab()
-        if self._btab is None:
-            raise ValueError(
-                "sharded_runner needs the Pallas block tables; the grid "
-                f"{self.grid.shape} is not 8-divisible"
-            )
-        nshards = mesh.shape["cam"] * mesh.shape["grid"]
-        costs = None
-        if order == "cost":
-            if costing_frames is None:
-                raise ValueError(
-                    "order='cost' needs a (C, H, W, 3) costing_frames "
-                    "sample (its masks estimate per-superblock activity)"
-                )
-            costs = pallas_sharded.superblock_costs(
-                self._btab, self.masks(costing_frames),
-                self.rig.views_threshold,
-            )
-        ordv = pallas_sharded.superblock_order(
-            self._btab.nsuper, nshards, order, costs=costs
+        return ShardedRunner(
+            self, mesh, order=order, costing_frames=costing_frames,
+            interpret=interpret, rebalance_every=rebalance_every,
         )
-        st = pallas_sharded.shard_block_tables(mesh, self._btab, order=ordv)
-        if interpret is None:
-            interpret = jax.default_backend() == "cpu"
-        step = pallas_sharded.sharded_production_step(
-            mesh, st.local_static,
-            use_hsv=self.mog_params[0].use_hsv,
-            views_threshold=self.rig.views_threshold,
-            interpret=interpret,
-        )
-        flags = pallas_sharded.mask_flags_array(self._mask_params_t)
-
-        def run(frames):
-            frames = np.asarray(frames)
-            if frames.shape[0] != mesh.shape["data"]:
-                raise ValueError(
-                    f"frame batch {frames.shape[0]} != data-axis size "
-                    f"{mesh.shape['data']}"
-                )
-            placed = pallas_sharded.place_production_inputs(
-                mesh, frames, self._stacked_fz,
-                self._fig_thresholds, self._inner_thresholds, flags,
-            )
-            occ_b, col_b, ovf = step(
-                *placed, st.pk, st.lcc, st.vorig, st.uorig, st.allv,
-                st.ry, st.rx,
-            )
-            occ_b, col_b = pallas_sharded.unshuffle_blocked(
-                occ_b, col_b, self._btab, st.order
-            )
-            occ_b, col_b = np.asarray(occ_b), np.asarray(col_b)
-            ovf = np.asarray(ovf)
-            if ovf.any():  # exact, rare: redo those frames host-CCL
-                from vbr_tpu.ops import carve_pallas
-
-                for f in np.flatnonzero(ovf.any(axis=1)):
-                    masks = self.masks(frames[f])  # host fallback inside
-                    o, c = carve_pallas.carve_blocked(
-                        jnp.asarray(masks),
-                        jnp.asarray(frames[f, self.rig.color_camera]),
-                        self._btab,
-                        views_threshold=self.rig.views_threshold,
-                        interpret=interpret, layout="blocked",
-                    )
-                    occ_b[f], col_b[f] = np.asarray(o), np.asarray(c)
-            return occ_b, col_b
-
-        return run
 
     def stream(self, frames_iter, layout: str = "blocked"):
         """Double-buffered streaming reconstruction.
@@ -542,6 +483,172 @@ class VisualHull:
         self.bg_states = states
         self.mog_params = [MOGParams() for _ in states]
         return True
+
+
+class ShardedRunner:
+    """Callable multi-chip production step with re-balanceable placement.
+
+    Built by :meth:`VisualHull.sharded_runner`.  Calling the runner on a
+    ``(F, C, H, W, 3)`` u8 frame batch runs the sharded fused step and
+    returns blocked-layout numpy ``(occ_b, col_b)`` in canonical
+    superblock order.
+
+    Cost-LPT placements are built from ONE costing frame's masks, so
+    they go stale when the subject leaves the costed region (the r4
+    known-limit).  Because superblock order is exactness-free (every
+    per-superblock table and the canonical-index map permute together)
+    and the shard_map program's shapes don't depend on it, re-placing is
+    a table transfer, never a recompile:
+
+      * :meth:`rebalance` — re-cost from a given frame and re-place if
+        the predicted critical-path cost improves by ``min_gain``;
+      * ``rebalance_every=N`` — do that automatically every N batches,
+        costing from the batch's own first frame;
+      * :meth:`shard_costs` / :meth:`imbalance` — inspect the predicted
+        per-shard load of the current placement under given costs.
+    """
+
+    def __init__(self, model: "VisualHull", mesh, order: str = "strided",
+                 costing_frames=None, interpret=None,
+                 rebalance_every: int = 0):
+        from vbr_tpu.parallel import pallas_sharded
+
+        self._ps = pallas_sharded
+        self.model = model
+        self.mesh = mesh
+        self.mode = order
+        self.rebalance_every = int(rebalance_every)
+        self._runs = 0
+        self._nshards = mesh.shape["cam"] * mesh.shape["grid"]
+        model._ensure_fast_state()
+        model._ensure_btab()
+        if model._btab is None:
+            raise ValueError(
+                "sharded_runner needs the Pallas block tables; the grid "
+                f"{model.grid.shape} is not 8-divisible"
+            )
+        costs = None
+        if order == "cost":
+            if costing_frames is None:
+                raise ValueError(
+                    "order='cost' needs a (C, H, W, 3) costing_frames "
+                    "sample (its masks estimate per-superblock activity)"
+                )
+            costs = self._costs_from(costing_frames)
+        self.costs = costs
+        self.order = pallas_sharded.superblock_order(
+            model._btab.nsuper, self._nshards, order, costs=costs
+        )
+        self._st = pallas_sharded.shard_block_tables(
+            mesh, model._btab, order=self.order
+        )
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self._interpret = interpret
+        self._step = pallas_sharded.sharded_production_step(
+            mesh, self._st.local_static,
+            use_hsv=model.mog_params[0].use_hsv,
+            views_threshold=model.rig.views_threshold,
+            interpret=interpret,
+        )
+        self._flags = pallas_sharded.mask_flags_array(model._mask_params_t)
+
+    # -- placement inspection / maintenance -------------------------------
+
+    def _costs_from(self, frame) -> np.ndarray:
+        """Per-superblock carve costs from one (C, H, W, 3) frame."""
+        return self._ps.superblock_costs(
+            self.model._btab, self.model.masks(np.asarray(frame)),
+            self.model.rig.views_threshold,
+        )
+
+    def shard_costs(self, costs=None) -> np.ndarray:
+        """(nshards,) predicted per-shard cost of the CURRENT placement
+        under ``costs`` (default: the placement's own costing frame)."""
+        costs = self.costs if costs is None else np.asarray(costs)
+        if costs is None:
+            raise ValueError(
+                "no costs available (placement is not cost-based); pass "
+                "costs or use rebalance(frame)"
+            )
+        c = np.zeros(len(self.order), np.float64)
+        c[: self.model._btab.nsuper] = costs
+        nloc = len(self.order) // self._nshards
+        return c[self.order].reshape(self._nshards, nloc).sum(axis=1)
+
+    def imbalance(self, costs=None) -> float:
+        """Critical-path / mean predicted shard cost (1.0 = perfect)."""
+        sc = self.shard_costs(costs)
+        mean = sc.mean()
+        return float(sc.max() / mean) if mean > 0 else 1.0
+
+    def rebalance(self, frame, min_gain: float = 0.05) -> bool:
+        """Re-cost from ``frame`` ((C, H, W, 3) u8) and re-place the
+        tables if the predicted critical-path cost improves by at least
+        ``min_gain`` (fraction).  Returns True if re-placed.  Safe at
+        any time: results are bit-identical under any placement; only
+        the load balance changes."""
+        costs = self._costs_from(frame)
+        new_order = self._ps.superblock_order(
+            self.model._btab.nsuper, self._nshards, "cost", costs=costs
+        )
+        cur_crit = self.shard_costs(costs).max()
+        c = np.zeros(len(new_order), np.float64)
+        c[: self.model._btab.nsuper] = costs
+        nloc = len(new_order) // self._nshards
+        new_crit = c[new_order].reshape(self._nshards, nloc).sum(axis=1).max()
+        if new_crit > (1.0 - min_gain) * cur_crit:
+            self.costs = costs  # keep the fresher costs for inspection
+            return False
+        self.mode = "cost"
+        self.costs = costs
+        self.order = new_order
+        self._st = self._ps.shard_block_tables(
+            self.mesh, self.model._btab, order=new_order
+        )
+        return True
+
+    # -- the step ----------------------------------------------------------
+
+    def __call__(self, frames):
+        frames = np.asarray(frames)
+        if frames.shape[0] != self.mesh.shape["data"]:
+            raise ValueError(
+                f"frame batch {frames.shape[0]} != data-axis size "
+                f"{self.mesh.shape['data']}"
+            )
+        if (self.rebalance_every and self._runs
+                and self._runs % self.rebalance_every == 0):
+            self.rebalance(frames[0])
+        self._runs += 1
+        model, st = self.model, self._st
+        placed = self._ps.place_production_inputs(
+            self.mesh, frames, model._stacked_fz,
+            model._fig_thresholds, model._inner_thresholds, self._flags,
+        )
+        occ_b, col_b, ovf = self._step(
+            *placed, st.pk, st.lcc, st.vorig, st.uorig, st.allv,
+            st.ry, st.rx,
+        )
+        occ_b, col_b = self._ps.unshuffle_blocked(
+            occ_b, col_b, model._btab, st.order
+        )
+        occ_b, col_b = np.asarray(occ_b), np.asarray(col_b)
+        ovf = np.asarray(ovf)
+        if ovf.any():  # exact, rare: redo those frames host-CCL
+            from vbr_tpu.ops import carve_pallas
+
+            for f in np.flatnonzero(ovf.any(axis=1)):
+                masks = model.masks(frames[f])  # host fallback inside
+                o, c = carve_pallas.carve_blocked(
+                    jnp.asarray(masks),
+                    jnp.asarray(frames[f, model.rig.color_camera]),
+                    model._btab,
+                    views_threshold=model.rig.views_threshold,
+                    interpret=self._interpret, layout="blocked",
+                )
+                occ_b[f], col_b[f] = np.asarray(o), np.asarray(c)
+        return occ_b, col_b
 
 
 import functools
