@@ -125,6 +125,26 @@ class TestBatchedCleanup:
         )
         assert bool(np.asarray(ovf)[0])
 
+    def test_run_table_overflow_flag(self):
+        # comb: ONE component whose teeth put 32 fg + 32 bg = 64 combined
+        # runs in each top row — exact (vs host) at the default per-row
+        # run cap, overflow-flagged when the cap is squeezed below it
+        H, W = 32, 128
+        raw = np.zeros((H, W), np.uint8)
+        raw[:, ::4] = 255  # teeth: 32 fg runs per row (+32 bg gaps)
+        raw[-4:, :] = 255  # spine joins them into one component
+        out, ovf = ccl.clean_masks_batched(
+            jnp.asarray(raw[None]), (50.0,), (10.0,)
+        )
+        assert not bool(np.asarray(ovf)[0])
+        np.testing.assert_array_equal(
+            np.asarray(out)[0], ccl.clean_mask_host(raw, 50.0, 10.0)
+        )
+        _, ovf_small = ccl.clean_masks_batched(
+            jnp.asarray(raw[None]), (50.0,), (10.0,), k_runs=16
+        )
+        assert bool(np.asarray(ovf_small)[0])
+
     def test_golden_masks_roundtrip(self, golden_masks):
         """Shipped golden masks: cleanup is idempotent-ish (already clean
         figures are kept; output matches the host path exactly)."""

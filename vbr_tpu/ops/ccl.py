@@ -341,11 +341,93 @@ def _subselect_roots(roots, flags, k):
     return jnp.where(jnp.arange(k) < count, out, -1), count
 
 
+def _row_run_tables(fg2d, lab2d, k_runs, extra2d=None):
+    """Per-row run tables: the image axis of every component statistic.
+
+    A maximal horizontal run of same-phase pixels is 4-connected, so all
+    of its pixels carry ONE component label; and a component's root pixel
+    (its min linear index) is always a run start (the pixel to its left is
+    the other phase, else that pixel would have a smaller index in the
+    same component).  Row-run tables therefore turn every per-component
+    reduction from an (H·W × k) compare into an (H·R × k) one, R = runs
+    per row — ~20× fewer compares on real masks — with NO image-length
+    cumsum, searchsorted, gather, or scatter: runs are ranked by a per-ROW
+    cumsum and reduced into fixed (H, R) slots by a one-hot compare that
+    XLA fuses into the reduction.
+
+    One table covers BOTH phases (fg and bg runs of a row interleave, so
+    they share the slot axis and the two packed (H, W, R) reductions;
+    ``lab2d`` must carry each pixel's own-phase component label, which is
+    phase-unambiguous because fg and bg components have disjoint pixel
+    sets and therefore distinct min-index labels).  Each reduction packs
+    its two per-run quantities into one i32 (length + extra count;
+    label·4 + root flag·2 + phase bit).
+
+    Returns ``(length, label, isroot, isfg, extra_cnt, overflow)``:
+      length    (H, R) i32  pixels in run slot j of row i (0 = empty slot)
+      label     (H, R) i32  component label of the run (-1 = empty slot)
+      isroot    (H, R) bool run starts at its component's root pixel
+      isfg      (H, R) bool run is foreground phase
+      extra_cnt (H, R) i32  count of ``extra2d`` over the run's pixels
+      overflow  ()     bool some row has more than k_runs runs (results
+                            truncated: caller must flag + fall back)
+    """
+    Hp, Wp = fg2d.shape
+    if Wp >= (1 << 15) or 4 * Hp * Wp >= (1 << 31):
+        raise ValueError("image too large for packed run tables")
+    sh = int(Wp + 1).bit_length()  # extra-count pack shift: 2^sh > Wp
+    ph = fg2d.astype(jnp.int32)
+    left = jnp.pad(ph, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
+    is_start = ph != left  # column 0 always starts a run
+    rank = jnp.cumsum(is_start.astype(jnp.int32), axis=1)
+    rid = rank - 1  # run slot of each pixel (every pixel is in a run)
+    slot = jnp.arange(k_runs, dtype=jnp.int32)
+    inrun = rid[:, :, None] == slot[None, None, :]  # (Hp, Wp, R), fused
+
+    ones = jnp.ones((Hp, Wp), jnp.int32) if extra2d is None else (
+        1 + (extra2d.astype(jnp.int32) << sh))
+    cnt_pack = jnp.sum(jnp.where(inrun, ones[:, :, None], 0), axis=1)
+    length = cnt_pack & ((1 << sh) - 1)
+    extra_cnt = cnt_pack >> sh
+
+    lin = (jnp.arange(Hp, dtype=jnp.int32)[:, None] * Wp
+           + jnp.arange(Wp, dtype=jnp.int32)[None, :])
+    root_px = is_start & (lab2d == lin)
+    lab_val = jnp.where(
+        is_start, lab2d * 4 + root_px.astype(jnp.int32) * 2 + ph, 0)
+    lab_pack = jnp.sum(jnp.where(inrun, lab_val[:, :, None], 0), axis=1)
+    valid = length > 0
+    label = jnp.where(valid, lab_pack >> 2, -1)
+    isroot = valid & ((lab_pack & 2) > 0)
+    isfg = valid & ((lab_pack & 1) > 0)
+    overflow = jnp.any(rank[:, -1] > k_runs)
+    return length, label, isroot, isfg, extra_cnt, overflow
+
+
+def _onehot_compact(values, flags, k):
+    """First k ``values`` where ``flags``, gather-free; -1 padded, + count.
+
+    Like :func:`_subselect_roots` but built for LONG tables: compaction
+    positions come from a one-hot compare against the flag cumsum's rank
+    (an (n × k) fused reduce) instead of searchsorted — no log(n) gather
+    chains, which dominate on tables of tens of thousands of run slots.
+    ``values`` must be ≥ 0 at flagged slots.
+    """
+    cs = jnp.cumsum(flags.astype(jnp.int32))
+    count = cs[-1]
+    rank = jnp.where(flags, cs - 1, -1)
+    iot = jnp.arange(k, dtype=jnp.int32)
+    out = jnp.sum(
+        jnp.where(rank[:, None] == iot[None, :], values[:, None], 0),
+        axis=0)
+    return jnp.where(iot < count, out, -1), count
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "fig_thresholds", "inner_thresholds", "kf", "kb", "max_iters",
-        "interpret",
+        "fig_thresholds", "inner_thresholds", "kf", "kb", "k_runs",
+        "max_iters", "interpret",
     ),
 )
 def clean_masks_batched(
@@ -355,6 +437,7 @@ def clean_masks_batched(
     *,
     kf: int = 512,
     kb: int = 128,
+    k_runs: int = 64,
     max_iters: int = 64,
     interpret: bool = False,
 ):
@@ -366,26 +449,29 @@ def clean_masks_batched(
       * labeling runs in one batched Pallas kernel (fg + bg for all C
         cameras in VMEM, ops.ccl_pallas) instead of an HBM-bound XLA
         while-loop;
-      * component statistics (areas, border contact, hole perimeter,
-        kept-adjacency) use root compaction (cumsum + searchsorted) and
-        fused broadcast-compare reductions — no 300k-element scatters
-        anywhere.  Only the fg area pass runs against the full kf-wide
-        root table; every other per-pixel question runs against a
-        SUBSELECTED table (kept figures ≤ k_keep, enclosed holes ≤
-        k_hole — both few on real masks), and the border-contact test
-        gathers the ~2.5k border/padding labels instead of reducing over
-        the image (the padding is one connected bg region, so a single
-        padding pixel represents all of it).
+      * component statistics (areas, root extraction, hole pixel counts,
+        kept-adjacency) come from per-row RUN tables (_row_run_tables):
+        every maximal horizontal same-phase run carries one component
+        label, so areas reduce over (Hp × k_runs) run slots instead of
+        (H·W) pixels — ~20× fewer compares, and no image-length cumsum,
+        searchsorted, gather, or scatter anywhere.  The remaining
+        per-pixel passes run against SUBSELECTED tables only (kept
+        figures ≤ k_keep, filled holes ≤ k_hole — both few on real
+        masks), and the border-contact test gathers the ~2.5k
+        border/padding labels instead of reducing over the image (the
+        padding is one connected bg region, so a single padding pixel
+        represents all of it).
 
     Returns (cleaned (C, H, W) u8, overflow (C,) bool).  ``overflow[c]``
-    is True when camera c exceeded ANY device-side table: more than kf
-    foreground or kb background components, more than k_keep=min(16, kf)
-    kept figures, or more than k_hole=min(64, kb) enclosed holes — in all
-    four cases the device result for that camera is truncated, so callers
-    MUST honor the bit and redo the camera via a fallback path
-    (clean_mask_host) to preserve exactness.  With the default caps none
-    of these occur on the production rig (measured max: 400 fg / 18 bg
-    components, ≤3 kept figures, ≤18 holes).
+    is True when camera c exceeded ANY device-side table: more than
+    k_runs same-phase runs in one image row, more than kf foreground or
+    kb background components, more than k_keep=min(16, kf) kept figures,
+    or more than k_hole=min(64, kb) enclosed holes — in all cases the
+    device result for that camera is truncated, so callers MUST honor the
+    bit and redo the camera via a fallback path (clean_mask_host) to
+    preserve exactness.  With the default caps none of these occur on the
+    production rig (measured max: 400 fg / 18 bg components, 39 combined
+    fg+bg runs/row, ≤3 kept figures, ≤18 holes).
     """
     from vbr_tpu.ops import ccl_pallas
 
@@ -441,13 +527,29 @@ def clean_masks_batched(
     for c in range(C):
         Lf = labs_f[c]
         Lb = labs_b[c]
-        roots_f, nf = _compact_roots(Lf, kf)
-        roots_b, nb = _compact_roots(Lb, kb)
 
-        eq_f = Lf[:, None] == roots_f[None, :]  # fused compare-reduce
-        areas_f = jnp.sum(eq_f, axis=0)
+        # Component statistics from ONE combined-phase row-run table:
+        # roots, root counts, and pixel areas of BOTH phases come from the
+        # (Hp × k_runs) table — no image-length cumsum / searchsorted /
+        # gather (the old _compact_roots) and no (H·W × kf) area compare.
+        # The kept-adjacency count rides the same packed reduction, but
+        # depends on kept_px, so the table is built in two stages: labels
+        # first, the kept-adjacent counts after the keep decision.
+        lab2d = jnp.where(fg_p[c].reshape(-1), Lf, Lb).reshape(Hp, Wp)
+        lent, labt, roott, isfgt, _, ovf_r = _row_run_tables(
+            fg_p[c], lab2d, k_runs)
+        lent = lent.reshape(-1)
+        labt = labt.reshape(-1)
+        roott = roott.reshape(-1)
+        isfgt = isfgt.reshape(-1)
+
+        roots_f, nf = _onehot_compact(labt, roott & isfgt, kf)
+        areas_f = jnp.sum(
+            jnp.where(labt[:, None] == roots_f[None, :],
+                      lent[:, None], 0),
+            axis=0)
         keep_f = (areas_f >= fig_thresholds[c]) & (roots_f >= 0)
-        kroots, nkeep = _subselect_roots(roots_f, keep_f, k_keep)
+        kroots, nkeep = _onehot_compact(roots_f, keep_f, k_keep)
         kept_px = jnp.any(Lf[:, None] == kroots[None, :], axis=1)
 
         kept_img = kept_px.reshape(Hp, Wp)
@@ -456,15 +558,22 @@ def clean_masks_batched(
             window_dimensions=(3, 3), window_strides=(1, 1),
             padding=((1, 1), (1, 1)),
         ).reshape(-1) > 0
+        # per-run kept-adjacent pixel counts (hole "touches a kept
+        # figure" at run granularity); lengths/labels re-emerge fused
+        kadjt = _row_run_tables(
+            fg_p[c], lab2d, k_runs,
+            extra2d=kept_adj.reshape(Hp, Wp))[4].reshape(-1)
+
+        roots_b, nb = _onehot_compact(labt, roott & ~isfgt, kb)
 
         border_labels = jnp.take(Lb, bidx)  # fg border pixels are BIG
         outside_b = jnp.any(
             border_labels[:, None] == roots_b[None, :], axis=0)
         hole_flags = (roots_b >= 0) & ~outside_b
-        hroots, nhole = _subselect_roots(roots_b, hole_flags, k_hole)
-        eq_h = Lb[:, None] == hroots[None, :]  # (HW, k_hole)
-        areas_b = jnp.sum(eq_h, axis=0)
-        touch_b = jnp.any(eq_h & kept_adj[:, None], axis=0)
+        hroots, nhole = _onehot_compact(roots_b, hole_flags, k_hole)
+        eq_hr = labt[:, None] == hroots[None, :]  # (Hp·R, k_hole)
+        areas_b = jnp.sum(jnp.where(eq_hr, lent[:, None], 0), axis=0)
+        touch_b = jnp.any(eq_hr & (kadjt[:, None] > 0), axis=0)
         in_kept_hole = (hroots >= 0) & touch_b
         # cv2.contourArea of a hole via 2×2 corner counting (see
         # clean_mask): A = pix + (c1 + 2·c2 + c3 + 2·cdiag)/4; block
@@ -497,11 +606,14 @@ def clean_masks_batched(
             + corner4_b.astype(jnp.float32) * 0.25
         )
         fill_b = in_kept_hole & (poly_area < inner_thresholds[c])
-        hole_white_px = jnp.any(eq_h & fill_b[None, :], axis=1)
+        # paint small filled holes white: one (H·W × k_hole) compare
+        # against the filled subset (-1 entries never match a label)
+        fill_roots = jnp.where(fill_b, hroots, -1)
+        hole_white_px = jnp.any(Lb[:, None] == fill_roots[None, :], axis=1)
 
         out = (kept_px | hole_white_px).reshape(Hp, Wp)[:H, :W]
         outs.append(jnp.where(out, jnp.uint8(255), jnp.uint8(0)))
-        overflows.append((nf > kf) | (nb > kb)
+        overflows.append(ovf_r | (nf > kf) | (nb > kb)
                          | (nkeep > k_keep) | (nhole > k_hole))
 
     return jnp.stack(outs), jnp.stack(overflows)
