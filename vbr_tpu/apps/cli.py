@@ -568,15 +568,23 @@ def _render_animation(args, cams, recon, pipe):
     from vbr_tpu.utils import video as vio
     from vbr_tpu.viewer import headless
 
+    from vbr_tpu.pipelines import reconstruction
+
     W, H = 1280, 720
     out = args.png or os.path.join(args.out_dir, "hull_anim.mp4")
     if not out.endswith(".mp4"):
-        out += ".mp4"
+        out = os.path.splitext(out)[0] + ".mp4"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    renderer = GLSceneRenderer(cams, (W, H)) if args.gl else None
-    src = vio.MultiCameraSource(args.data)
+    target = (4.0, 6.0, 0.0)  # orbit_pose's look-at, shared by both paths
+    renderer = None
+    src = None
     n = 0
     try:
+        renderer = GLSceneRenderer(cams, (W, H)) if args.gl else None
+        src = vio.MultiCameraSource(args.data)
+        if renderer is None:  # splat path: same scene furniture as the GL one
+            floor_pos, floor_col = reconstruction.generate_grid(64, 64)
+            cam_pos, cam_col = reconstruction.get_cam_positions(cams)
         with VideoSink(out, fps=12.5, width=W, height=H) as sink:
             while n < args.animate:
                 frames = src.next_frames()
@@ -589,12 +597,18 @@ def _render_animation(args, cams, recon, pipe):
                     img = renderer.render(pos, col, eye, pitch, yaw)
                 else:
                     img = headless.render_points(
-                        pos, col, eye=eye, image_hw=(H, W)
+                        pos, col, eye=eye, target=target, image_hw=(H, W)
+                    )
+                    headless.render_floor_and_cameras(
+                        img, np.asarray(floor_pos), np.asarray(floor_col),
+                        np.asarray(cam_pos, float), cam_col,
+                        eye=eye, target=target,
                     )
                 sink.write(np.ascontiguousarray(img[..., ::-1]))  # RGB→BGR
                 n += 1
     finally:
-        src.release()
+        if src is not None:
+            src.release()
         if renderer is not None:
             renderer.close()
     print(f"wrote {out} ({n} frames, orbit render)")
@@ -791,8 +805,8 @@ def main(argv=None):
     p.add_argument(
         "--animate", type=int, default=0, metavar="N",
         help="stream N video frames through the pipeline and encode an "
-        "orbit-camera mp4 (--png names the output; GL engine with --gl, "
-        "splat renderer otherwise)",
+        "orbit-camera mp4 (--png names the output, extension replaced "
+        "with .mp4; GL engine with --gl, splat renderer otherwise)",
     )
     p.set_defaults(fn=cmd_render)
 

@@ -552,6 +552,12 @@ class ShardedRunner:
             interpret=interpret,
         )
         self._flags = pallas_sharded.mask_flags_array(model._mask_params_t)
+        # the frozen GMM state + thresholds never change between batches;
+        # place them on the mesh ONCE (tens of MB — not hot-path traffic)
+        self._static_in = pallas_sharded.place_static_inputs(
+            mesh, model._stacked_fz,
+            model._fig_thresholds, model._inner_thresholds, self._flags,
+        )
 
     # -- placement inspection / maintenance -------------------------------
 
@@ -622,13 +628,10 @@ class ShardedRunner:
             self.rebalance(frames[0])
         self._runs += 1
         model, st = self.model, self._st
-        placed = self._ps.place_production_inputs(
-            self.mesh, frames, model._stacked_fz,
-            model._fig_thresholds, model._inner_thresholds, self._flags,
-        )
+        frames_d = self._ps.place_frames(self.mesh, frames)
         occ_b, col_b, ovf = self._step(
-            *placed, st.pk, st.lcc, st.vorig, st.uorig, st.allv,
-            st.ry, st.rx,
+            frames_d, *self._static_in, st.pk, st.lcc, st.vorig, st.uorig,
+            st.allv, st.ry, st.rx,
         )
         occ_b, col_b = self._ps.unshuffle_blocked(
             occ_b, col_b, model._btab, st.order

@@ -522,98 +522,112 @@ def clean_masks_batched(
     k_keep = min(16, kf)
     k_hole = min(64, kb)
 
-    outs = []
-    overflows = []
-    for c in range(C):
-        Lf = labs_f[c]
-        Lb = labs_b[c]
+    stats = functools.partial(
+        _clean_stats_one, bidx=bidx, kf=kf, kb=kb, k_runs=k_runs,
+        k_keep=k_keep, k_hole=k_hole,
+    )
+    fig_arr = jnp.asarray(fig_thresholds, jnp.float32)
+    inner_arr = jnp.asarray(inner_thresholds, jnp.float32)
+    out_p, overflow = jax.vmap(stats)(
+        labs_f, labs_b, fg_p, bg_p, fig_arr, inner_arr
+    )
+    out = jnp.where(out_p[:, :H, :W], jnp.uint8(255), jnp.uint8(0))
+    return out, overflow
 
-        # Component statistics from ONE combined-phase row-run table:
-        # roots, root counts, and pixel areas of BOTH phases come from the
-        # (Hp × k_runs) table — no image-length cumsum / searchsorted /
-        # gather (the old _compact_roots) and no (H·W × kf) area compare.
-        # The kept-adjacency count rides the same packed reduction, but
-        # depends on kept_px, so the table is built in two stages: labels
-        # first, the kept-adjacent counts after the keep decision.
-        lab2d = jnp.where(fg_p[c].reshape(-1), Lf, Lb).reshape(Hp, Wp)
-        lent, labt, roott, isfgt, _, ovf_r = _row_run_tables(
-            fg_p[c], lab2d, k_runs)
-        lent = lent.reshape(-1)
-        labt = labt.reshape(-1)
-        roott = roott.reshape(-1)
-        isfgt = isfgt.reshape(-1)
 
-        roots_f, nf = _onehot_compact(labt, roott & isfgt, kf)
-        areas_f = jnp.sum(
-            jnp.where(labt[:, None] == roots_f[None, :],
-                      lent[:, None], 0),
-            axis=0)
-        keep_f = (areas_f >= fig_thresholds[c]) & (roots_f >= 0)
-        kroots, nkeep = _onehot_compact(roots_f, keep_f, k_keep)
-        kept_px = jnp.any(Lf[:, None] == kroots[None, :], axis=1)
+def _clean_stats_one(
+    Lf, Lb,  # (Hp·Wp,) i32 fg/bg labels (BIG at other-phase pixels)
+    fgc, bgc,  # (Hp, Wp) bool phase masks (padded)
+    fig_threshold, inner_threshold,  # scalars (traced under vmap)
+    *, bidx, kf, kb, k_runs, k_keep, k_hole,
+):
+    """One image's statistics tail of :func:`clean_masks_batched`
+    (everything after the labeler), written per-image so camera AND frame
+    batches run as ONE vmapped program instead of an unrolled Python loop.
+    Returns ((Hp, Wp) bool cleaned, () bool overflow)."""
+    Hp, Wp = fgc.shape
 
-        kept_img = kept_px.reshape(Hp, Wp)
-        kept_adj = lax.reduce_window(
-            kept_img.astype(jnp.int32), 0, lax.max,
-            window_dimensions=(3, 3), window_strides=(1, 1),
-            padding=((1, 1), (1, 1)),
-        ).reshape(-1) > 0
-        # per-run kept-adjacent pixel counts (hole "touches a kept
-        # figure" at run granularity); lengths/labels re-emerge fused
-        kadjt = _row_run_tables(
-            fg_p[c], lab2d, k_runs,
-            extra2d=kept_adj.reshape(Hp, Wp))[4].reshape(-1)
+    # Component statistics from ONE combined-phase row-run table:
+    # roots, root counts, and pixel areas of BOTH phases come from the
+    # (Hp × k_runs) table — no image-length cumsum / searchsorted /
+    # gather and no (H·W × kf) area compare.  The kept-adjacency count
+    # rides the same packed reduction, but depends on kept_px, so the
+    # table is built in two stages: labels first, the kept-adjacent
+    # counts after the keep decision.
+    lab2d = jnp.where(fgc.reshape(-1), Lf, Lb).reshape(Hp, Wp)
+    lent, labt, roott, isfgt, _, ovf_r = _row_run_tables(fgc, lab2d, k_runs)
+    lent = lent.reshape(-1)
+    labt = labt.reshape(-1)
+    roott = roott.reshape(-1)
+    isfgt = isfgt.reshape(-1)
 
-        roots_b, nb = _onehot_compact(labt, roott & ~isfgt, kb)
+    roots_f, nf = _onehot_compact(labt, roott & isfgt, kf)
+    areas_f = jnp.sum(
+        jnp.where(labt[:, None] == roots_f[None, :], lent[:, None], 0),
+        axis=0)
+    keep_f = (areas_f >= fig_threshold) & (roots_f >= 0)
+    kroots, nkeep = _onehot_compact(roots_f, keep_f, k_keep)
+    kept_px = jnp.any(Lf[:, None] == kroots[None, :], axis=1)
 
-        border_labels = jnp.take(Lb, bidx)  # fg border pixels are BIG
-        outside_b = jnp.any(
-            border_labels[:, None] == roots_b[None, :], axis=0)
-        hole_flags = (roots_b >= 0) & ~outside_b
-        hroots, nhole = _onehot_compact(roots_b, hole_flags, k_hole)
-        eq_hr = labt[:, None] == hroots[None, :]  # (Hp·R, k_hole)
-        areas_b = jnp.sum(jnp.where(eq_hr, lent[:, None], 0), axis=0)
-        touch_b = jnp.any(eq_hr & (kadjt[:, None] > 0), axis=0)
-        in_kept_hole = (hroots >= 0) & touch_b
-        # cv2.contourArea of a hole via 2×2 corner counting (see
-        # clean_mask): A = pix + (c1 + 2·c2 + c3 + 2·cdiag)/4; block
-        # contributions attributed to the min bg label in the block
-        # (identical convention to clean_mask / clean_mask_host), summed
-        # per root with a compare-reduce — still scatter-free.
-        bgc = bg_p[c]
-        labc = jnp.where(bgc.reshape(-1), Lb, BIG).reshape(Hp, Wp)
-        ha, hb_ = bgc[:-1, :-1], bgc[:-1, 1:]
-        hc_, hd = bgc[1:, :-1], bgc[1:, 1:]
-        la, lb2 = labc[:-1, :-1], labc[:-1, 1:]
-        lc2, ld = labc[1:, :-1], labc[1:, 1:]
-        s2 = (ha.astype(jnp.int32) + hb_.astype(jnp.int32)
-              + hc_.astype(jnp.int32) + hd.astype(jnp.int32))
-        diag2 = (ha & hd & ~hb_ & ~hc_) | (hb_ & hc_ & ~ha & ~hd)
-        contrib4 = (
-            jnp.where(s2 == 1, 1, 0)
-            + jnp.where((s2 == 2) & ~diag2, 2, 0)
-            + jnp.where(diag2, 2, 0)
-            + jnp.where(s2 == 3, 1, 0)
-        )
-        blmin = jnp.minimum(jnp.minimum(la, lb2), jnp.minimum(lc2, ld))
-        corner4_b = jnp.sum(
-            jnp.where(blmin.reshape(-1)[:, None] == hroots[None, :],
-                      contrib4.reshape(-1)[:, None], 0),
-            axis=0,
-        )
-        poly_area = (
-            areas_b.astype(jnp.float32)
-            + corner4_b.astype(jnp.float32) * 0.25
-        )
-        fill_b = in_kept_hole & (poly_area < inner_thresholds[c])
-        # paint small filled holes white: one (H·W × k_hole) compare
-        # against the filled subset (-1 entries never match a label)
-        fill_roots = jnp.where(fill_b, hroots, -1)
-        hole_white_px = jnp.any(Lb[:, None] == fill_roots[None, :], axis=1)
+    kept_img = kept_px.reshape(Hp, Wp)
+    kept_adj = lax.reduce_window(
+        kept_img.astype(jnp.int32), 0, lax.max,
+        window_dimensions=(3, 3), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+    ).reshape(-1) > 0
+    # per-run kept-adjacent pixel counts (hole "touches a kept
+    # figure" at run granularity); lengths/labels re-emerge fused
+    kadjt = _row_run_tables(
+        fgc, lab2d, k_runs, extra2d=kept_adj.reshape(Hp, Wp)
+    )[4].reshape(-1)
 
-        out = (kept_px | hole_white_px).reshape(Hp, Wp)[:H, :W]
-        outs.append(jnp.where(out, jnp.uint8(255), jnp.uint8(0)))
-        overflows.append(ovf_r | (nf > kf) | (nb > kb)
-                         | (nkeep > k_keep) | (nhole > k_hole))
+    roots_b, nb = _onehot_compact(labt, roott & ~isfgt, kb)
 
-    return jnp.stack(outs), jnp.stack(overflows)
+    border_labels = jnp.take(Lb, bidx)  # fg border pixels are BIG
+    outside_b = jnp.any(
+        border_labels[:, None] == roots_b[None, :], axis=0)
+    hole_flags = (roots_b >= 0) & ~outside_b
+    hroots, nhole = _onehot_compact(roots_b, hole_flags, k_hole)
+    eq_hr = labt[:, None] == hroots[None, :]  # (Hp·R, k_hole)
+    areas_b = jnp.sum(jnp.where(eq_hr, lent[:, None], 0), axis=0)
+    touch_b = jnp.any(eq_hr & (kadjt[:, None] > 0), axis=0)
+    in_kept_hole = (hroots >= 0) & touch_b
+    # cv2.contourArea of a hole via 2×2 corner counting (see
+    # clean_mask): A = pix + (c1 + 2·c2 + c3 + 2·cdiag)/4; block
+    # contributions attributed to the min bg label in the block
+    # (identical convention to clean_mask / clean_mask_host), summed
+    # per root with a compare-reduce — still scatter-free.
+    labc = jnp.where(bgc.reshape(-1), Lb, BIG).reshape(Hp, Wp)
+    ha, hb_ = bgc[:-1, :-1], bgc[:-1, 1:]
+    hc_, hd = bgc[1:, :-1], bgc[1:, 1:]
+    la, lb2 = labc[:-1, :-1], labc[:-1, 1:]
+    lc2, ld = labc[1:, :-1], labc[1:, 1:]
+    s2 = (ha.astype(jnp.int32) + hb_.astype(jnp.int32)
+          + hc_.astype(jnp.int32) + hd.astype(jnp.int32))
+    diag2 = (ha & hd & ~hb_ & ~hc_) | (hb_ & hc_ & ~ha & ~hd)
+    contrib4 = (
+        jnp.where(s2 == 1, 1, 0)
+        + jnp.where((s2 == 2) & ~diag2, 2, 0)
+        + jnp.where(diag2, 2, 0)
+        + jnp.where(s2 == 3, 1, 0)
+    )
+    blmin = jnp.minimum(jnp.minimum(la, lb2), jnp.minimum(lc2, ld))
+    corner4_b = jnp.sum(
+        jnp.where(blmin.reshape(-1)[:, None] == hroots[None, :],
+                  contrib4.reshape(-1)[:, None], 0),
+        axis=0,
+    )
+    poly_area = (
+        areas_b.astype(jnp.float32)
+        + corner4_b.astype(jnp.float32) * 0.25
+    )
+    fill_b = in_kept_hole & (poly_area < inner_threshold)
+    # paint small filled holes white: one (H·W × k_hole) compare
+    # against the filled subset (-1 entries never match a label)
+    fill_roots = jnp.where(fill_b, hroots, -1)
+    hole_white_px = jnp.any(Lb[:, None] == fill_roots[None, :], axis=1)
+
+    out = (kept_px | hole_white_px).reshape(Hp, Wp)
+    overflow = (ovf_r | (nf > kf) | (nb > kb)
+                | (nkeep > k_keep) | (nhole > k_hole))
+    return out, overflow

@@ -285,7 +285,6 @@ def _build_mc_tables(ambig: str = "separate"):
 
 _MC_TABLE_NP, _MC_MIDS_NP = _build_mc_tables("separate")
 _MC_TABLE_JOIN_NP, _ = _build_mc_tables("join")
-_MC_MAXT = _MC_TABLE_NP.shape[1]
 _MC_TABLES_J = {
     "separate": jnp.asarray(_MC_TABLE_NP),
     "join": jnp.asarray(_MC_TABLE_JOIN_NP),
@@ -294,7 +293,6 @@ _MC_MAXTS = {
     "separate": _MC_TABLE_NP.shape[1],
     "join": _MC_TABLE_JOIN_NP.shape[1],
 }
-_MC_MIDS_J = jnp.asarray(_MC_MIDS_NP)
 # edge id -> (corner a, corner b), same ordering as _build_mc_tables
 _MC_EDGE_CORNERS_NP = np.array(
     sorted(

@@ -159,6 +159,17 @@ def extract_mesh_sharded(
     overflow (detected via the returned per-shard counts) the program is
     re-run with the next power-of-two capacity.
     """
+    # same argument validation as extract_mesh, so sharded/fallback paths
+    # accept and reject identical calls regardless of shard divisibility
+    if algorithm not in ("tetrahedra", "cubes"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if ambiguity not in ("separate", "join"):
+        raise ValueError(f"unknown ambiguity rule {ambiguity!r}")
+    if algorithm == "tetrahedra" and ambiguity != "separate":
+        raise ValueError(
+            "ambiguity is only supported with algorithm='cubes' (the "
+            "6-tet decomposition has no ambiguous faces)"
+        )
     nx = volume.shape[0]
     n_shards = mesh.shape[axis]
     if nx % n_shards != 0:

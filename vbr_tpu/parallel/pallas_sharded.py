@@ -383,6 +383,37 @@ def sharded_production_step(
     return jax.jit(mapped)
 
 
+def place_static_inputs(
+    mesh: Mesh,
+    stacked_fz: gmm.FrozenMOGState,  # stacked, leading camera axis
+    fig_thr,
+    inner_thr,
+    morph_flags,  # (C, 4) bool — see mask_flags_array
+):
+    """Place the step inputs that never change between batches (frozen GMM
+    state, thresholds, morphology flags).  Do this ONCE per runner — the
+    compressed GMM state is tens of MB and must not ride the hot path."""
+    put = lambda x, spec: jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, spec)
+    )
+    return (
+        put(stacked_fz.mean, P("cam", None, None, None, None)),
+        put(stacked_fz.thr, P("cam", None, None, None)),
+        put(stacked_fz.bcount, P("cam", None, None)),
+        put(np.asarray(fig_thr, np.float32), P("cam")),
+        put(np.asarray(inner_thr, np.float32), P("cam")),
+        put(np.asarray(morph_flags, bool), P("cam", None)),
+    )
+
+
+def place_frames(mesh: Mesh, frames):
+    """Place one (F, C, H, W, 3) u8 frame batch (the only per-call input)."""
+    return jax.device_put(
+        jnp.asarray(frames),
+        NamedSharding(mesh, P("data", "cam", None, None, None)),
+    )
+
+
 def place_production_inputs(
     mesh: Mesh,
     frames,  # (F, C, H, W, 3) u8
@@ -391,18 +422,10 @@ def place_production_inputs(
     inner_thr,
     morph_flags,  # (C, 4) bool — see mask_flags_array
 ):
-    """Place the per-step inputs with the shardings the step expects."""
-    put = lambda x, spec: jax.device_put(
-        jnp.asarray(x), NamedSharding(mesh, spec)
-    )
-    return (
-        put(frames, P("data", "cam", None, None, None)),
-        put(stacked_fz.mean, P("cam", None, None, None, None)),
-        put(stacked_fz.thr, P("cam", None, None, None)),
-        put(stacked_fz.bcount, P("cam", None, None)),
-        put(np.asarray(fig_thr, np.float32), P("cam")),
-        put(np.asarray(inner_thr, np.float32), P("cam")),
-        put(np.asarray(morph_flags, bool), P("cam", None)),
+    """Place ALL step inputs (one-shot convenience; steady-state callers
+    should split :func:`place_static_inputs` out of the per-batch path)."""
+    return (place_frames(mesh, frames),) + place_static_inputs(
+        mesh, stacked_fz, fig_thr, inner_thr, morph_flags
     )
 
 
