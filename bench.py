@@ -333,6 +333,11 @@ def main():
             order = pallas_sharded.superblock_order(
                 btab.nsuper, nsh, "cost", costs=costs
             )
+            # Sub-ms shard kernels: tunnel sync noise (~ms) swamps the
+            # marginal at headline iteration counts, so scale iters until
+            # the half-batch signal is ~50 ms of kernel time per pair.
+            est_shard_ms = max(ms / nsh, 0.05)
+            it_shard = min(512, max(48, int(100.0 / est_shard_ms)))
             shard_ms = []
             for k in range(nsh):
                 loc = pallas_sharded.local_table_slice(
@@ -346,15 +351,17 @@ def main():
                         layout="blocked",
                     )
 
-                # sub-ms kernels need the full-strength marginal protocol
-                # (tunnel sync noise ~ the signal at weaker settings)
-                m_k, _, _ = _marginal_ms(step_shard, max(24, iters))
+                m_k, _, _ = _marginal_ms(step_shard, it_shard)
                 shard_ms.append(m_k)
             ici_ms = (nsh - 1) / nsh * masks.size * 4 / 45e9 * 1e3
             out.extra(
                 sharded_cost_lpt_ms_per_frame=round(max(shard_ms) + ici_ms, 4),
                 sharded_cost_lpt_shard_ms=[round(m, 3) for m in shard_ms],
                 sharded_shards=nsh,
+                sharded_iters=it_shard,
+                sharded_balance=round(
+                    max(shard_ms) / (sum(shard_ms) / nsh), 3
+                ),
             )
         except Exception as e:  # never fail the headline on this
             out.extra(sharded_error=f"{type(e).__name__}: {e}")
