@@ -12,7 +12,11 @@ measurement (canonical layout, batched, fused pipeline) re-prints the
 full cumulative JSON line.  The consumer takes the LAST complete JSON
 line, so a tunnel outage mid-run costs only the extras measured after it,
 never the headline.  Backoff on backend-init failure is capped at ~30 s
-total.
+total.  If backend init *hangs* (the observed ~9-minute outage mode that
+produced an empty r3 record), a watchdog emits the last successful run's
+persisted result flagged `"basis": "cached", "stale": true` so the driver
+always receives an honest parseable line; any later real measurement
+supersedes it.
 
 Kernel provenance is explicit: the headline value carries extra.kernel
 ("pallas" = fused blocked Pallas kernel, "tables" = XLA gather path) and a
@@ -31,9 +35,53 @@ timing (bit-exact, reference trunc semantics of voxel_reconstruction.py:
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "artifacts", "last_bench.json"
+)
+
+
+def _stall_watchdog(headline_emitted, timeout_s):
+    """Guarantee SOME parseable output even if the tunnel stalls.
+
+    The observed worst outage mode is not an UNAVAILABLE raise (handled by
+    _devices_or_reexec) but a backend init / first device op that simply
+    HANGS for ~9 minutes — the driver's timeout then kills the process with
+    zero bytes emitted (this is exactly what produced the empty r3 record).
+    If the headline has not been printed within `timeout_s`, emit the last
+    successful run's result, explicitly flagged `"basis": "cached"` +
+    `"stale": true`, so the consumer gets an honest, clearly-labeled value
+    instead of nothing.  If the run recovers, the real headline prints
+    later and supersedes this line (the consumer takes the LAST complete
+    JSON line).  A fast *failure* (exception before the headline) exits
+    before the watchdog fires and emits nothing — cached output covers
+    environmental stalls only, never code bugs."""
+    if headline_emitted.wait(timeout_s):
+        return
+    try:
+        with open(_CACHE_PATH) as f:
+            saved = json.load(f)
+    except (OSError, ValueError):
+        print(f"# watchdog: no headline after {timeout_s:.0f}s and no "
+              "cached result to fall back to", file=sys.stderr)
+        sys.stderr.flush()
+        return
+    line = dict(saved["result"])
+    line["basis"] = "cached"
+    line["stale"] = True
+    line["cached_at"] = saved["saved_at"]
+    line["note"] = (
+        f"TPU backend stalled >{timeout_s:.0f}s (tunnel outage); this is "
+        "the last successful on-chip measurement, NOT a fresh one. A later "
+        "JSON line, if any, supersedes this."
+    )
+    sys.stderr.flush()
+    print(json.dumps(line))
+    sys.stdout.flush()
 
 
 def _marginal_ms(step, iters, pairs=3):
@@ -111,6 +159,23 @@ class _Emitter:
         sys.stderr.flush()
         print(json.dumps(self.result))
         sys.stdout.flush()
+        try:  # persist for the stall watchdog's cached fallback
+            os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
+            tmp = _CACHE_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "saved_at": time.strftime(
+                            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                        ),
+                        "result": self.result,
+                    },
+                    f,
+                    indent=1,
+                )
+            os.replace(tmp, _CACHE_PATH)
+        except OSError:
+            pass
 
     def extra(self, **kv):
         self.result["extra"].update(kv)
@@ -118,6 +183,14 @@ class _Emitter:
 
 
 def main():
+    headline_emitted = threading.Event()
+    threading.Thread(
+        target=_stall_watchdog,
+        args=(headline_emitted,
+              float(os.environ.get("VBR_BENCH_WATCHDOG_S", "240"))),
+        daemon=True,
+    ).start()
+
     import jax
 
     _devices_or_reexec(jax)
@@ -251,6 +324,7 @@ def main():
         result["extra"]["parity"] = "bit-exact vs f64 table path"
     out = _Emitter(result)
     out.emit()
+    headline_emitted.set()
 
     if kernel == "pallas":
         from vbr_tpu.ops import carve_pallas
