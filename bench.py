@@ -66,6 +66,12 @@ def _stall_watchdog(headline_emitted, timeout_s):
         with open(_CACHE_PATH) as f:
             saved = json.load(f)
     except (OSError, ValueError):
+        saved = None
+    if saved is not None and not isinstance(saved.get("result"), dict):
+        saved = None
+    if headline_emitted.is_set():
+        return  # the real headline won the race: never print stale after it
+    if saved is None:
         print(f"# watchdog: no headline after {timeout_s:.0f}s and no "
               "cached result to fall back to", file=sys.stderr)
         sys.stderr.flush()
@@ -159,6 +165,11 @@ class _Emitter:
         sys.stderr.flush()
         print(json.dumps(self.result))
         sys.stdout.flush()
+        if self.result.get("fallback"):
+            # never persist an XLA-fallback headline: a later stalled run's
+            # watchdog would republish it as "the last successful on-chip
+            # measurement", laundering a fail-loudly run into a headline
+            return
         try:  # persist for the stall watchdog's cached fallback
             os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
             tmp = _CACHE_PATH + ".tmp"

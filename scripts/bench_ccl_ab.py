@@ -10,32 +10,13 @@ import functools
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def marginal_ms_hi(fn, sync, iters=48, pairs=5):
-    half = iters // 2
-
-    def run(k):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = fn()
-        sync(out)
-        return time.perf_counter() - t0
-
-    run(4)
-    run(4)
-    margs = []
-    for _ in range(pairs):
-        t_half = run(half)
-        t_full = run(iters)
-        margs.append((t_full - t_half) / (iters - half))
-    return sorted(margs)[len(margs) // 2] * 1e3
+from scripts._timing import marginal_ms as marginal_ms_hi  # noqa: E402,F401
 
 
 def main():

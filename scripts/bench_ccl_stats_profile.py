@@ -78,6 +78,8 @@ def main():
             np.arange(Hp) * Wp, np.arange(Hp) * Wp + (W - 1)]
     if Hp > H:
         bidx.append(np.array([H * Wp]))
+    elif Wp > W:
+        bidx.append(np.array([W]))
     bidx_a = jnp.asarray(np.unique(np.concatenate(bidx)).astype(np.int32))
 
     # ---- stage functions (per-camera unrolled, like production) ---------

@@ -40,32 +40,11 @@ import numpy as np
 ICI_GBPS = 45e9  # v5e per-link ICI bandwidth (public spec), bytes/s
 
 
-def _sync(x):
-    np.asarray(x.ravel()[:1])
+from scripts._timing import marginal_ms  # noqa: E402
 
 
 def _marginal_ms(fn, iters=24):
-    half = max(1, iters // 2)
-
-    def run(k):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = fn()
-        _sync(out[0])
-        return time.perf_counter() - t0
-
-    run(2)
-    run(2)
-    margs, means = [], []
-    for _ in range(3):
-        t_h, t_f = run(half), run(iters)
-        margs.append((t_f - t_h) / (iters - half))
-        means.append(t_f / iters)
-    m = sorted(margs)[1]
-    if m <= 0:  # noise-dominated: median of means, not one leaked sample
-        m = sorted(means)[1]
-    return m * 1e3
+    return marginal_ms(fn, iters=iters, pairs=3, warmup=2)
 
 
 def bench_config(name, cams, grid, masks, frames, views_threshold,

@@ -81,3 +81,37 @@ def test_emit_persists_result_for_the_watchdog(tmp_path, monkeypatch):
     saved = json.loads((tmp_path / "lb.json").read_text())
     assert saved["result"] == result
     assert "saved_at" in saved
+
+
+def test_emit_never_persists_a_fallback_headline(tmp_path, monkeypatch):
+    # an XLA-fallback number must not be replayable by a later watchdog
+    # as "the last successful on-chip measurement"
+    monkeypatch.setattr(bench, "_CACHE_PATH", str(tmp_path / "lb.json"))
+    result = {"metric": "m", "value": 93.0, "unit": "u", "fallback": True,
+              "extra": {"kernel": "tables"}}
+    with contextlib.redirect_stdout(io.StringIO()):
+        bench._Emitter(result).emit()
+    assert not (tmp_path / "lb.json").exists()
+
+
+def test_watchdog_rechecks_after_cache_read(fake_cache):
+    # headline wins the race between wait() timing out and the cached
+    # print: the stale line must never be the LAST (recorded) line
+    class _SetAfterFirstWait:
+        def __init__(self):
+            self._set = False
+
+        def wait(self, timeout):
+            return False  # timed out → watchdog proceeds to the cache read
+
+        def is_set(self):
+            return True  # ...but the real headline printed meanwhile
+
+    assert _run_watchdog(_SetAfterFirstWait(), 0.01) == ""
+
+
+def test_watchdog_rejects_malformed_cache(tmp_path, monkeypatch):
+    path = tmp_path / "bad.json"
+    path.write_text(json.dumps({"no_result_key": 1}))
+    monkeypatch.setattr(bench, "_CACHE_PATH", str(path))
+    assert _run_watchdog(threading.Event(), 0.01) == ""

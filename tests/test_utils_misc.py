@@ -144,6 +144,33 @@ class TestPreview:
         assert preview.show_result("w", img, 10) is False
         assert calls == ["imshow"]
 
+    def test_bad_call_does_not_latch_disable(self, monkeypatch):
+        # a per-image failure (e.g. unsupported dtype) must not disable
+        # previews of later, valid images — only display errors latch
+        from vbr_tpu.utils import preview
+
+        monkeypatch.setattr(preview, "_DISABLED", False)
+        calls = []
+
+        class FakeCv2:
+            error = type("error", (Exception,), {})
+
+            def imshow(self, name, img):
+                calls.append(name)
+                if name == "bad":
+                    raise self.error("mat type assertion failed")
+
+            def waitKey(self, ms):
+                pass
+
+        import sys
+        monkeypatch.setitem(sys.modules, "cv2", FakeCv2())
+        img = np.zeros((4, 4), np.uint8)
+        assert preview.show_result("bad", img, 10) is False
+        assert preview._DISABLED is False
+        assert preview.show_result("good", img, 10) is True
+        assert calls == ["bad", "good"]
+
     def test_shown_when_gui_works(self, monkeypatch):
         from vbr_tpu.utils import preview
 

@@ -631,18 +631,24 @@ class GLSceneRenderer:
         self.W, self.H = wh
         self.ctx = OffscreenContext(self.W, self.H)
         self.ctx.__enter__()
-        gl.glEnable(gl.GL_DEPTH_TEST)
-        self.prog = eng.compile_program(eng.VERT_SRC, eng.FRAG_SRC)
-        self.cubes = eng.InstancedCubes()
-        self.floor = eng.InstancedCubes(max_instances=130 * 130)
-        self.cam_marks = eng.InstancedCubes(max_instances=16)
-        self.hdr = eng.HDRPipeline(self.W, self.H)
-        fp, fc = reconstruction.generate_grid(64, 64)
-        self.floor.set_instances(np.asarray(fp, np.float32),
-                                 np.asarray(fc, np.float32))
-        cp, cc = reconstruction.get_cam_positions(cams)
-        self.cam_marks.set_instances(np.asarray(cp, np.float32),
-                                     np.asarray(cc, np.float32))
+        try:
+            gl.glEnable(gl.GL_DEPTH_TEST)
+            self.prog = eng.compile_program(eng.VERT_SRC, eng.FRAG_SRC)
+            self.cubes = eng.InstancedCubes()
+            self.floor = eng.InstancedCubes(max_instances=130 * 130)
+            self.cam_marks = eng.InstancedCubes(max_instances=16)
+            self.hdr = eng.HDRPipeline(self.W, self.H)
+            fp, fc = reconstruction.generate_grid(64, 64)
+            self.floor.set_instances(np.asarray(fp, np.float32),
+                                     np.asarray(fc, np.float32))
+            cp, cc = reconstruction.get_cam_positions(cams)
+            self.cam_marks.set_instances(np.asarray(cp, np.float32),
+                                         np.asarray(cc, np.float32))
+        except BaseException:
+            # no object reaches the caller on a constructor failure, so
+            # nobody else can release the entered EGL context — do it here
+            self.ctx.__exit__(*sys.exc_info())
+            raise
 
     def render(self, pos, col, eye=(28.0, 26.0, 28.0), pitch=-35.0,
                yaw=-135.0):

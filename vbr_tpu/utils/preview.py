@@ -33,15 +33,41 @@ def show_result(window: str, image: np.ndarray, ms: int) -> bool:
         cv2.imshow(window, image)
         cv2.waitKey(int(ms))
         return True
-    except Exception as exc:  # headless cv2 raises cv2.error
-        _DISABLED = True
+    except Exception as exc:
         from vbr_tpu.utils import warnings_
 
-        warnings_.show_warning(
-            "preview_unavailable",
-            f"interactive preview disabled ({type(exc).__name__}: {exc})",
-        )
+        if _is_display_error(exc):
+            # the HOST cannot show windows: latch off all future previews
+            _DISABLED = True
+            warnings_.show_warning(
+                "preview_unavailable",
+                f"interactive preview disabled ({type(exc).__name__}: {exc})",
+            )
+        else:
+            # a bad CALL (e.g. unsupported image dtype) must not disable
+            # previews of valid images later in the process
+            warnings_.show_warning(
+                "preview_failed",
+                f"preview of {window!r} failed "
+                f"({type(exc).__name__}: {exc})",
+            )
         return False
+
+
+def _is_display_error(exc: Exception) -> bool:
+    """True when the exception means the HOST has no usable display (cv2
+    built without HighGUI, or no display server) rather than a bad call."""
+    if isinstance(exc, ImportError):
+        return True
+    msg = str(exc).lower()
+    return any(
+        s in msg
+        for s in (
+            "not implemented",  # cv2 built without HighGUI backend
+            "display",          # no DISPLAY / cannot open display
+            "gtk", "qt", "wayland", "cocoa",  # windowing backend failures
+        )
+    )
 
 
 def close_all() -> None:

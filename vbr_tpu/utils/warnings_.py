@@ -22,6 +22,8 @@ _MESSAGES = {
     "board_quad_none": "Board outline could not be estimated.",
     "preview_unavailable": "Interactive preview window unavailable on "
                            "this host; previews disabled.",
+    "preview_failed": "Interactive preview failed for this image; "
+                      "later previews are unaffected.",
 }
 
 
