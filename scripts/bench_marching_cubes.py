@@ -1,0 +1,109 @@
+"""On-chip timing of the marching-cubes surface extraction.
+
+The viewer's surface mode (M key) re-extracts the hull isosurface after
+every carve (reference analog: voxel_reconstruction.py:127-163 via the
+commented assignment.py:134-147 block), so extraction latency matters for
+interactivity.  This times `extract_mesh` end-to-end (device passes +
+host compaction/concat) on the REAL rig hull at 128³ for both algorithms,
+and separates the device-emit cost from the host tail.
+
+Usage:  python scripts/bench_marching_cubes.py   (from /root/repo, axon)
+Prints one JSON line per measurement.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    import cv2
+    import jax.numpy as jnp
+
+    from vbr_tpu.ops import carve, marching_cubes as mc
+    from vbr_tpu.pipelines import reconstruction
+    from vbr_tpu.utils.config import GridConfig, RigConfig
+
+    data_dir = os.environ.get("VBR_DATA_DIR", "/root/reference/data")
+    grid, rig = GridConfig(), RigConfig()
+    cameras = reconstruction.load_rig(data_dir)
+    masks, frames = [], []
+    for i in range(1, 5):
+        m = cv2.imread(os.path.join(data_dir, f"cam{i}", "mask_MOG.jpg"), 0)
+        masks.append((m > 127).astype(np.uint8) * 255)
+        cap = cv2.VideoCapture(os.path.join(data_dir, f"cam{i}", "video.avi"))
+        ok, f = cap.read()
+        cap.release()
+        frames.append(f)
+    H, W = masks[0].shape
+    tables = carve.build_projection_tables(cameras, grid, (H, W))
+    occ, _ = carve.carve_from_tables(
+        jnp.asarray(np.stack(masks)), jnp.asarray(np.stack(frames)),
+        tables.valid, tables.lin_idx,
+        views_threshold=rig.views_threshold, color_camera=rig.color_camera,
+    )
+    np.asarray(jnp.zeros((8,)))  # session warm
+    volume = np.asarray(occ).reshape(grid.shape)
+    n_occ = int(volume.sum())
+
+    for algorithm in ("tetrahedra", "cubes"):
+        # warm (compile cached across runs via the persistent cache)
+        tris, n = mc.extract_mesh(volume, algorithm=algorithm)
+        reps = int(os.environ.get("VBR_MC_REPS", "10"))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            tris, n = mc.extract_mesh(volume, algorithm=algorithm)
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        print(json.dumps({
+            "metric": f"marching_cubes_128_{algorithm}_ms",
+            "value": round(ms, 2),
+            "unit": "ms (end-to-end incl. host compaction)",
+            "triangles": int(n),
+            "occupied_voxels": n_occ,
+        }))
+        sys.stdout.flush()
+
+    # device-emit marginal alone (the repeated per-carve cost once the
+    # active set is known): one 65536-cell pass on the hull's active cells
+    mask_bits = np.asarray(jnp.packbits(
+        mc.active_cells_mask(jnp.asarray(volume)).reshape(-1)))
+    idx = np.flatnonzero(np.unpackbits(
+        mask_bits, count=int(np.prod([s - 1 for s in grid.shape]))))
+    cap_n = 65536
+    padded = np.zeros(cap_n, np.int64)
+    padded[: min(len(idx), cap_n)] = idx[:cap_n]
+    cells = jnp.asarray(padded)
+    vol_d = jnp.asarray(volume)
+
+    from scripts._timing import marginal_ms
+
+    for algorithm, emit in (
+        ("tetrahedra", lambda: mc._emit_triangles(
+            vol_d, cells, capacity=cap_n)),
+        ("cubes", lambda: mc._emit_triangles_mc(
+            vol_d, cells, capacity=cap_n, ambiguity="separate", level=0.5)),
+    ):
+        ms = marginal_ms(emit, iters=12, pairs=3, warmup=2)
+        print(json.dumps({
+            "metric": f"mc_device_emit_{algorithm}_ms",
+            "value": round(ms, 2),
+            "unit": "ms (device emit pass, marginal)",
+            "active_cells": int(len(idx)),
+        }))
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -484,9 +484,15 @@ def extract_mesh(
         )
         tris_per_cell = _MC_MAXTS[ambiguity]
     volume_d = jnp.asarray(volume)
-    mask = np.asarray(
-        active_cells_mask(volume_d, level=float(level))
-    ).reshape(-1)
+    # active-cell compaction is host-side (dynamic size vs XLA static
+    # shapes, SURVEY §7), but the device→host pull is bit-PACKED: ~256 KB
+    # instead of 2 MB of bool at 128³ — the transfer, not the pack, is
+    # what costs on a tunneled host
+    n_cells = int(np.prod([s - 1 for s in volume.shape]))
+    packed = jnp.packbits(
+        active_cells_mask(volume_d, level=float(level)).reshape(-1)
+    )
+    mask = np.unpackbits(np.asarray(packed), count=n_cells).astype(bool)
     idx = np.flatnonzero(mask)
     tris_out = []
     for start in range(0, len(idx), capacity):
