@@ -59,21 +59,23 @@ def main():
     n_occ = int(volume.sum())
 
     for algorithm in ("tetrahedra", "cubes"):
-        # warm (compile cached across runs via the persistent cache)
-        tris, n = mc.extract_mesh(volume, algorithm=algorithm)
-        reps = int(os.environ.get("VBR_MC_REPS", "10"))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            tris, n = mc.extract_mesh(volume, algorithm=algorithm)
-        ms = (time.perf_counter() - t0) / reps * 1e3
-        print(json.dumps({
-            "metric": f"marching_cubes_128_{algorithm}_ms",
-            "value": round(ms, 2),
-            "unit": "ms (end-to-end incl. host compaction)",
-            "triangles": int(n),
-            "occupied_voxels": n_occ,
-        }))
-        sys.stdout.flush()
+        for emit in ("host_table", "device"):
+            # warm (compile cached across runs via the persistent cache)
+            tris, n = mc.extract_mesh(volume, algorithm=algorithm, emit=emit)
+            reps = int(os.environ.get("VBR_MC_REPS", "10"))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                tris, n = mc.extract_mesh(
+                    volume, algorithm=algorithm, emit=emit)
+            ms = (time.perf_counter() - t0) / reps * 1e3
+            print(json.dumps({
+                "metric": f"marching_cubes_128_{algorithm}_{emit}_ms",
+                "value": round(ms, 2),
+                "unit": "ms (end-to-end incl. host tail)",
+                "triangles": int(n),
+                "occupied_voxels": n_occ,
+            }))
+            sys.stdout.flush()
 
     # device-emit marginal alone (the repeated per-carve cost once the
     # active set is known): one 65536-cell pass on the hull's active cells

@@ -1,5 +1,6 @@
 """Marching-tetrahedra surface extraction invariants."""
 
+import pytest
 import numpy as np
 
 from vbr_tpu.ops import marching_cubes as mc
@@ -492,3 +493,67 @@ def _has_vertex_pinch(verts, faces):
         if len(seen) != len(ts):
             return True
     return False
+
+
+class TestBinaryTableFastPath:
+    """The binary fast path (`emit="auto"` → config grid + generated
+    256-entry table, extract_mesh docstring) must be BIT-identical to the
+    per-cell device pass: the table is generated by the device emitters
+    themselves, so any divergence is a re-basing error."""
+
+    def _both(self, vol, **kw):
+        fast = mc.extract_mesh(vol, emit="host_table", **kw)
+        slow = mc.extract_mesh(vol, emit="device", **kw)
+        return fast, slow
+
+    def test_bit_identical_all_algorithms_random(self):
+        rng = np.random.default_rng(21)
+        for _ in range(6):
+            vol = _random_vol(rng, n=9, p=0.4)
+            for kw in (
+                dict(algorithm="tetrahedra"),
+                dict(algorithm="cubes", ambiguity="separate"),
+                dict(algorithm="cubes", ambiguity="join"),
+                dict(algorithm="cubes", ambiguity="join", level=0.0),
+            ):
+                (tf, nf), (ts, ns) = self._both(vol, **kw)
+                assert nf == ns, kw
+                np.testing.assert_array_equal(tf, ts, err_msg=str(kw))
+
+    def test_bit_identical_with_spacing_origin(self):
+        rng = np.random.default_rng(22)
+        vol = _random_vol(rng, n=8, p=0.5)
+        kw = dict(spacing=(11.5, 16.0, 5.0), origin=(-512.0, -1024.0, 64.0))
+        (tf, nf), (ts, ns) = self._both(vol, algorithm="cubes", **kw)
+        assert nf == ns
+        np.testing.assert_array_equal(tf, ts)
+
+    def test_auto_dispatch(self):
+        rng = np.random.default_rng(23)
+        vol = _random_vol(rng, n=7)
+        # bool volume at a dyadic level → auto == table path
+        ta, na = mc.extract_mesh(vol, algorithm="cubes")
+        tt, nt = mc.extract_mesh(vol, algorithm="cubes", emit="host_table")
+        assert na == nt
+        np.testing.assert_array_equal(ta, tt)
+        # non-binary volume → auto silently uses the device pass
+        field = vol.astype(np.float32) * 0.8 + 0.1
+        td, nd = mc.extract_mesh(field, algorithm="cubes", level=0.31)
+        assert nd > 0
+        with pytest.raises(ValueError):
+            mc.extract_mesh(field, algorithm="cubes", level=0.31,
+                            emit="host_table")
+
+    def test_empty_and_full_volumes(self):
+        z = np.zeros((5, 5, 5), bool)
+        assert mc.extract_mesh(z, emit="host_table")[1] == 0
+        assert mc.extract_mesh(~z, emit="host_table")[1] == 0
+
+    def test_table_cache_reused(self):
+        mc._BINARY_EMIT_TABLES.clear()
+        rng = np.random.default_rng(24)
+        vol = _random_vol(rng, n=6)
+        mc.extract_mesh(vol, algorithm="cubes", emit="host_table")
+        assert len(mc._BINARY_EMIT_TABLES) == 1
+        mc.extract_mesh(vol, algorithm="cubes", emit="host_table")
+        assert len(mc._BINARY_EMIT_TABLES) == 1
