@@ -91,13 +91,20 @@ def main():
 
     from scripts._timing import marginal_ms
 
-    for algorithm, emit in (
+    tet_table = mc.table_emitter("tetrahedra", "separate", 0.5)
+    mc_table = mc.table_emitter("cubes", "separate", 0.5)
+    for algorithm, emit_fn, iters in (
         ("tetrahedra", lambda: mc._emit_triangles(
-            vol_d, cells, capacity=cap_n)),
+            vol_d, cells, capacity=cap_n), 12),
         ("cubes", lambda: mc._emit_triangles_mc(
-            vol_d, cells, capacity=cap_n, ambiguity="separate", level=0.5)),
+            vol_d, cells, capacity=cap_n, ambiguity="separate", level=0.5),
+         12),
+        ("tetrahedra_table", lambda: tet_table(
+            vol_d, cells, capacity=cap_n), 96),
+        ("cubes_table", lambda: mc_table(
+            vol_d, cells, capacity=cap_n), 96),
     ):
-        ms = marginal_ms(emit, iters=12, pairs=3, warmup=2)
+        ms = marginal_ms(emit_fn, iters=iters, pairs=3, warmup=2)
         print(json.dumps({
             "metric": f"mc_device_emit_{algorithm}_ms",
             "value": round(ms, 2),

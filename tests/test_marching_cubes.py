@@ -557,3 +557,84 @@ class TestBinaryTableFastPath:
         assert len(mc._BINARY_EMIT_TABLES) == 1
         mc.extract_mesh(vol, algorithm="cubes", emit="host_table")
         assert len(mc._BINARY_EMIT_TABLES) == 1
+
+
+class TestDeviceTableEmitter:
+    """mc.table_emitter (one-hot MXU matmul against the generated table)
+    must be bit-identical to the per-cell gather emitters — the one-hot
+    matmul is exact because the table's cell-relative coords are dyadic
+    (bf16-exact, guarded at build)."""
+
+    def _cells(self, vol, level=0.5):
+        flat = np.asarray(mc.active_cells_mask(vol, level=level)).reshape(-1)
+        idx = np.flatnonzero(flat)
+        cap = max(8, 1 << int(np.ceil(np.log2(max(len(idx), 2)))))
+        padded = np.zeros(cap, np.int64)
+        padded[: len(idx)] = idx
+        return padded, len(idx), cap
+
+    def test_bit_identical_to_per_cell_emitters(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(31)
+        for _ in range(4):
+            vol = _random_vol(rng, n=8, p=0.45)
+            cells, n, cap = self._cells(vol)
+            vol_d = jnp.asarray(vol)
+            cells_d = jnp.asarray(cells)
+            for algorithm, ambiguity, ref in (
+                ("tetrahedra", "separate",
+                 lambda: mc._emit_triangles(vol_d, cells_d, capacity=cap)),
+                ("cubes", "separate",
+                 lambda: mc._emit_triangles_mc(
+                     vol_d, cells_d, capacity=cap, ambiguity="separate")),
+                ("cubes", "join",
+                 lambda: mc._emit_triangles_mc(
+                     vol_d, cells_d, capacity=cap, ambiguity="join")),
+            ):
+                fast = mc.table_emitter(algorithm, ambiguity, 0.5)
+                vf, valf = fast(vol_d, cells_d, capacity=cap)
+                vr, valr = ref()
+                tpc = 12 if algorithm == "tetrahedra" else \
+                    mc._MC_MAXTS[ambiguity]
+                live = np.zeros(cap * tpc, bool)
+                live[: n * tpc] = True  # pad cells (id 0) may disagree
+                np.testing.assert_array_equal(
+                    np.asarray(valf)[live], np.asarray(valr)[live],
+                    err_msg=f"{algorithm}/{ambiguity} valid")
+                both = live & np.asarray(valr)
+                np.testing.assert_array_equal(
+                    np.asarray(vf)[both], np.asarray(vr)[both],
+                    err_msg=f"{algorithm}/{ambiguity} verts")
+
+    def test_extract_mesh_device_table_matches_device(self):
+        rng = np.random.default_rng(32)
+        vol = _random_vol(rng, n=9, p=0.4)
+        (tf, nf) = mc.extract_mesh(vol, algorithm="cubes",
+                                   emit="device_table")
+        (td, nd) = mc.extract_mesh(vol, algorithm="cubes", emit="device")
+        assert nf == nd
+        np.testing.assert_array_equal(tf, td)
+
+    def test_sharded_auto_vs_device_emit(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from vbr_tpu.parallel import mesh_sharded
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 devices")
+        rng = np.random.default_rng(33)
+        vol = np.zeros((16, 12, 12), bool)
+        vol[2:14, 2:10, 3:9] = rng.random((12, 8, 6)) < 0.5
+        mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("grid",))
+        ta, na = mesh_sharded.extract_mesh_sharded(
+            vol, mesh, capacity=512, emit="auto")
+        td, nd = mesh_sharded.extract_mesh_sharded(
+            vol, mesh, capacity=512, emit="device")
+        assert na == nd
+        np.testing.assert_array_equal(ta, td)
+
+    def test_non_dyadic_level_rejected(self):
+        with pytest.raises(ValueError):
+            mc.table_emitter("cubes", "separate", 0.3)

@@ -390,6 +390,7 @@ def cell_configs(volume: jnp.ndarray, level: float = 0.5) -> jnp.ndarray:
 
 
 _BINARY_EMIT_TABLES = {}
+_TABLE_EMITTERS = {}
 
 
 def _binary_emit_table(algorithm: str, ambiguity: str, level: float):
@@ -537,13 +538,18 @@ def extract_mesh(
         device pass is ~50 ms for the rig hull; the config pass is
         sub-ms).  Non-binary volumes or other levels use the device pass.
       * ``"device"`` — always the per-cell device pass.
-      * ``"host_table"`` — force the table path (raises if ineligible).
+      * ``"host_table"`` — force the host table path (raises if
+        ineligible).
+      * ``"device_table"`` — device emission from the same generated
+        table via one config gather/cell + one-hot MXU matmuls
+        (:func:`table_emitter`) — for device-resident consumers like the
+        sharded extractor; raises if ineligible.
     """
     if algorithm not in ("tetrahedra", "cubes"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     if ambiguity not in ("separate", "join"):
         raise ValueError(f"unknown ambiguity rule {ambiguity!r}")
-    if emit not in ("auto", "device", "host_table"):
+    if emit not in ("auto", "device", "host_table", "device_table"):
         raise ValueError(f"unknown emit strategy {emit!r}")
     if algorithm == "tetrahedra" and level != 0.5:
         raise ValueError("level is only supported with algorithm='cubes'")
@@ -555,16 +561,21 @@ def extract_mesh(
     table_ok = (
         np.asarray(volume).dtype == np.bool_ and float(level) in (0.0, 0.5)
     )
-    if emit == "host_table" and not table_ok:
+    if emit in ("host_table", "device_table") and not table_ok:
         raise ValueError(
-            "emit='host_table' needs a bool volume at level 0 or 0.5"
+            f"emit={emit!r} needs a bool volume at level 0 or 0.5"
         )
-    if table_ok and emit != "device":
+    if table_ok and emit in ("auto", "host_table"):
         return _extract_mesh_table(
             volume, origin, spacing, algorithm, ambiguity, float(level)
         )
 
-    if algorithm == "tetrahedra":
+    if emit == "device_table":
+        emit_fn = table_emitter(algorithm, ambiguity, float(level))
+        tris_per_cell = (
+            12 if algorithm == "tetrahedra" else _MC_MAXTS[ambiguity]
+        )
+    elif algorithm == "tetrahedra":
         emit_fn = _emit_triangles
         tris_per_cell = 12
     else:
@@ -600,6 +611,59 @@ def extract_mesh(
     tris = np.concatenate(tris_out)
     tris = tris * np.asarray(spacing, np.float32) + np.asarray(origin, np.float32)
     return tris.astype(np.float32), len(tris)
+
+
+def table_emitter(algorithm: str, ambiguity: str = "separate",
+                  level: float = 0.5):
+    """Device emit function for BINARY volumes from the generated table.
+
+    Same ``(volume, cell_idx, capacity) → (verts, valid)`` contract as
+    ``_emit_triangles`` / ``_emit_triangles_mc``, but instead of ~60
+    gathered elements per cell (XLA gather ≈ 10 cycles/element — 47-71 ms
+    for the rig hull) it gathers ONE config byte per cell and turns the
+    256-entry table lookup into one-hot bf16 matmuls on the MXU.  Exact
+    by construction: every row of the one-hot is exactly one 1, the
+    table's cell-relative coords are dyadic (guarded below) so bf16 holds
+    them exactly, each f32-accumulated output is a single exact product,
+    and the final base add is the same single f32 add the per-cell path
+    performs — bit-identical output, gated in tests.
+    """
+    key = (algorithm, ambiguity, float(level))
+    if key in _TABLE_EMITTERS:
+        return _TABLE_EMITTERS[key]
+    tv, tvalid = _binary_emit_table(algorithm, ambiguity, float(level))
+    T = tv.shape[1]
+    tv_bf = jnp.asarray(tv.reshape(256, T * 9), jnp.bfloat16)
+    if not (np.asarray(tv_bf, np.float32) == tv.reshape(256, T * 9)).all():
+        raise ValueError(
+            f"table for level={level} is not bf16-exact; use the per-cell "
+            "emitters (levels 0 and 0.5 are dyadic and qualify)"
+        )
+    va_bf = jnp.asarray(tvalid.astype(np.float32), jnp.bfloat16)
+
+    @functools.partial(jax.jit, static_argnames=("capacity",))
+    def emit(volume, cell_idx, *, capacity):
+        cfg_d = cell_configs(volume, level=float(level))
+        ny1, nz1 = cfg_d.shape[1], cfg_d.shape[2]
+        cfg = jnp.take(cfg_d.reshape(-1), cell_idx).astype(jnp.int32)
+        onehot = (
+            cfg[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :]
+        ).astype(jnp.bfloat16)
+        verts_rel = jnp.dot(
+            onehot, tv_bf, preferred_element_type=jnp.float32
+        ).reshape(capacity, T, 3, 3)
+        valid = jnp.dot(
+            onehot, va_bf, preferred_element_type=jnp.float32
+        ) > 0.5
+        cz = cell_idx % nz1
+        cy = (cell_idx // nz1) % ny1
+        cx = cell_idx // (nz1 * ny1)
+        base = jnp.stack([cx, cy, cz], axis=-1).astype(jnp.float32)
+        verts = verts_rel + base[:, None, None, :]
+        return verts.reshape(-1, 3, 3), valid.reshape(-1)
+
+    _TABLE_EMITTERS[key] = emit
+    return emit
 
 
 def _extract_mesh_table(volume, origin, spacing, algorithm, ambiguity,
