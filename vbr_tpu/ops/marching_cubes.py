@@ -558,8 +558,8 @@ def extract_mesh(
             "ambiguity is only supported with algorithm='cubes' (the "
             "6-tet decomposition has no ambiguous faces)"
         )
-    table_ok = (
-        np.asarray(volume).dtype == np.bool_ and float(level) in (0.0, 0.5)
+    table_ok = (  # dtype check only — never materialize a device volume
+        np.dtype(volume.dtype) == np.bool_ and float(level) in (0.0, 0.5)
     )
     if emit in ("host_table", "device_table") and not table_ok:
         raise ValueError(
