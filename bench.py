@@ -404,6 +404,27 @@ def main():
         except Exception as e:  # never fail the headline on this
             out.extra(fused_pipeline_error=f"{type(e).__name__}: {e}")
 
+        # Marching-cubes surface of the carved hull (viewer surface mode):
+        # binary fast path — dense device config pass + generated-table
+        # host emission (bit-identical to the per-cell device emitters).
+        try:
+            from vbr_tpu.ops import marching_cubes as mc
+
+            vol = np.asarray(occ_ref).reshape(grid.shape)
+            tris, ntri = mc.extract_mesh(vol, algorithm="cubes")
+            t0 = time.perf_counter()
+            reps = 5
+            for _ in range(reps):
+                tris, ntri = mc.extract_mesh(vol, algorithm="cubes")
+            out.extra(
+                mc_surface_ms=round(
+                    (time.perf_counter() - t0) / reps * 1e3, 2
+                ),
+                mc_surface_triangles=int(ntri),
+            )
+        except Exception as e:  # never fail the headline on this
+            out.extra(mc_surface_error=f"{type(e).__name__}: {e}")
+
         # Balanced grid sharding (cost-LPT superblock order): the honest
         # single-chip protocol — time each of the 8 shards' actual local
         # Pallas program and report the critical path (max) plus the ICI
