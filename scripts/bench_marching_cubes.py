@@ -7,7 +7,8 @@ interactivity.  This times `extract_mesh` end-to-end (device passes +
 host compaction/concat) on the REAL rig hull at 128³ for both algorithms,
 and separates the device-emit cost from the host tail.
 
-Usage:  python scripts/bench_marching_cubes.py   (from /root/repo, axon)
+Usage:  python scripts/bench_marching_cubes.py         (rig hull, 128³)
+        python scripts/bench_marching_cubes.py 256      (synthetic sphere)
 Prints one JSON line per measurement.
 """
 
@@ -29,50 +30,69 @@ def main():
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".jax_cache"),
     )
-    import cv2
     import jax.numpy as jnp
 
-    from vbr_tpu.ops import carve, marching_cubes as mc
-    from vbr_tpu.pipelines import reconstruction
-    from vbr_tpu.utils.config import GridConfig, RigConfig
+    from vbr_tpu.ops import marching_cubes as mc
 
-    data_dir = os.environ.get("VBR_DATA_DIR", "/root/reference/data")
-    grid, rig = GridConfig(), RigConfig()
-    cameras = reconstruction.load_rig(data_dir)
-    masks, frames = [], []
-    for i in range(1, 5):
-        m = cv2.imread(os.path.join(data_dir, f"cam{i}", "mask_MOG.jpg"), 0)
-        masks.append((m > 127).astype(np.uint8) * 255)
-        cap = cv2.VideoCapture(os.path.join(data_dir, f"cam{i}", "video.avi"))
-        ok, f = cap.read()
-        cap.release()
-        frames.append(f)
-    H, W = masks[0].shape
-    tables = carve.build_projection_tables(cameras, grid, (H, W))
-    occ, _ = carve.carve_from_tables(
-        jnp.asarray(np.stack(masks)), jnp.asarray(np.stack(frames)),
-        tables.valid, tables.lin_idx,
-        views_threshold=rig.views_threshold, color_camera=rig.color_camera,
-    )
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    if n:  # synthetic sphere at a larger grid (extraction-scaling mode)
+        ax = np.arange(n, dtype=np.float32) - (n - 1) / 2
+        r2 = (ax[:, None, None] ** 2 + ax[None, :, None] ** 2
+              + ax[None, None, :] ** 2)
+        volume = r2 < (0.42 * n) ** 2
+        tag = f"{n}_sphere"
+    else:  # the real rig hull at the production 128³ grid
+        import cv2
+
+        from vbr_tpu.ops import carve
+        from vbr_tpu.pipelines import reconstruction
+        from vbr_tpu.utils.config import GridConfig, RigConfig
+
+        data_dir = os.environ.get("VBR_DATA_DIR", "/root/reference/data")
+        grid, rig = GridConfig(), RigConfig()
+        cameras = reconstruction.load_rig(data_dir)
+        masks, frames = [], []
+        for i in range(1, 5):
+            m = cv2.imread(
+                os.path.join(data_dir, f"cam{i}", "mask_MOG.jpg"), 0)
+            masks.append((m > 127).astype(np.uint8) * 255)
+            cap = cv2.VideoCapture(
+                os.path.join(data_dir, f"cam{i}", "video.avi"))
+            ok, f = cap.read()
+            cap.release()
+            frames.append(f)
+        H, W = masks[0].shape
+        tables = carve.build_projection_tables(cameras, grid, (H, W))
+        occ, _ = carve.carve_from_tables(
+            jnp.asarray(np.stack(masks)), jnp.asarray(np.stack(frames)),
+            tables.valid, tables.lin_idx,
+            views_threshold=rig.views_threshold,
+            color_camera=rig.color_camera,
+        )
+        volume = np.asarray(occ).reshape(grid.shape)
+        tag = "128"
     np.asarray(jnp.zeros((8,)))  # session warm
-    volume = np.asarray(occ).reshape(grid.shape)
     n_occ = int(volume.sum())
 
+    # sphere mode: host_table only (the per-cell device pass at ~200k
+    # active cells costs seconds/rep and its 128³ number already stands)
+    emits = ("host_table",) if n else ("host_table", "device")
     for algorithm in ("tetrahedra", "cubes"):
-        for emit in ("host_table", "device"):
+        for emit in emits:
             # warm (compile cached across runs via the persistent cache)
-            tris, n = mc.extract_mesh(volume, algorithm=algorithm, emit=emit)
-            reps = int(os.environ.get("VBR_MC_REPS", "10"))
+            tris, nt = mc.extract_mesh(volume, algorithm=algorithm,
+                                       emit=emit)
+            reps = int(os.environ.get("VBR_MC_REPS", "3" if n else "10"))
             t0 = time.perf_counter()
             for _ in range(reps):
-                tris, n = mc.extract_mesh(
+                tris, nt = mc.extract_mesh(
                     volume, algorithm=algorithm, emit=emit)
             ms = (time.perf_counter() - t0) / reps * 1e3
             print(json.dumps({
-                "metric": f"marching_cubes_128_{algorithm}_{emit}_ms",
+                "metric": f"marching_cubes_{tag}_{algorithm}_{emit}_ms",
                 "value": round(ms, 2),
                 "unit": "ms (end-to-end incl. host tail)",
-                "triangles": int(n),
+                "triangles": int(nt),
                 "occupied_voxels": n_occ,
             }))
             sys.stdout.flush()
@@ -82,7 +102,7 @@ def main():
     mask_bits = np.asarray(jnp.packbits(
         mc.active_cells_mask(jnp.asarray(volume)).reshape(-1)))
     idx = np.flatnonzero(np.unpackbits(
-        mask_bits, count=int(np.prod([s - 1 for s in grid.shape]))))
+        mask_bits, count=int(np.prod([s - 1 for s in volume.shape]))))
     cap_n = 65536
     padded = np.zeros(cap_n, np.int64)
     padded[: min(len(idx), cap_n)] = idx[:cap_n]
@@ -93,7 +113,7 @@ def main():
 
     tet_table = mc.table_emitter("tetrahedra", "separate", 0.5)
     mc_table = mc.table_emitter("cubes", "separate", 0.5)
-    for algorithm, emit_fn, iters in (
+    cases = [
         ("tetrahedra", lambda: mc._emit_triangles(
             vol_d, cells, capacity=cap_n), 12),
         ("cubes", lambda: mc._emit_triangles_mc(
@@ -103,10 +123,13 @@ def main():
             vol_d, cells, capacity=cap_n), 96),
         ("cubes_table", lambda: mc_table(
             vol_d, cells, capacity=cap_n), 96),
-    ):
+    ]
+    if n:  # sphere mode: table emitters only (see emits note above)
+        cases = cases[2:]
+    for algorithm, emit_fn, iters in cases:
         ms = marginal_ms(emit_fn, iters=iters, pairs=3, warmup=2)
         print(json.dumps({
-            "metric": f"mc_device_emit_{algorithm}_ms",
+            "metric": f"mc_device_emit_{tag}_{algorithm}_ms",
             "value": round(ms, 2),
             "unit": "ms (device emit pass, marginal)",
             "active_cells": int(len(idx)),
