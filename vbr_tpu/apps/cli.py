@@ -734,8 +734,19 @@ def cmd_view(args):
     viewer_app.run_viewer(args.data, cfg)
 
 
+def _version() -> str:
+    try:
+        from importlib.metadata import version
+
+        return version("vbr-tpu")
+    except Exception:  # running from a checkout without installation
+        return "0.4.0+src"
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vbr_tpu")
+    ap.add_argument("--version", action="version",
+                    version=f"vbr-tpu {_version()}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("calibrate")
