@@ -131,8 +131,9 @@ def main():
         print(json.dumps({
             "metric": f"mc_device_emit_{tag}_{algorithm}_ms",
             "value": round(ms, 2),
-            "unit": "ms (device emit pass, marginal)",
-            "active_cells": int(len(idx)),
+            "unit": "ms (one device emit pass, marginal)",
+            "cells_in_pass": int(min(len(idx), cap_n)),
+            "active_cells_total": int(len(idx)),
         }))
         sys.stdout.flush()
 
