@@ -638,3 +638,23 @@ class TestDeviceTableEmitter:
     def test_non_dyadic_level_rejected(self):
         with pytest.raises(ValueError):
             mc.table_emitter("cubes", "separate", 0.3)
+
+    def test_sharded_auto_float_field_uses_interpolation(self):
+        # a non-binary scalar field must NOT be midpoint-snapped by the
+        # binary table emitter: auto resolves to the per-cell path
+        import jax
+        from jax.sharding import Mesh
+
+        from vbr_tpu.parallel import mesh_sharded
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 devices")
+        rng = np.random.default_rng(34)
+        field = np.zeros((8, 8, 8), np.float32)
+        field[2:6, 2:6, 2:6] = rng.uniform(0.6, 0.9, (4, 4, 4))
+        mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("grid",))
+        ts, ns = mesh_sharded.extract_mesh_sharded(
+            field, mesh, capacity=256, emit="auto")
+        td, nd = mc.extract_mesh(field, emit="device")
+        assert ns == nd
+        np.testing.assert_array_equal(ts, td)

@@ -739,8 +739,20 @@ def _version() -> str:
         from importlib.metadata import version
 
         return version("vbr-tpu")
-    except Exception:  # running from a checkout without installation
-        return "0.4.0+src"
+    except Exception:
+        pass
+    try:  # uninstalled checkout: single source of truth is pyproject.toml
+        import re
+
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        with open(os.path.join(root, "pyproject.toml")) as f:
+            m = re.search(r'^version\s*=\s*"([^"]+)"', f.read(), re.M)
+        if m:
+            return m.group(1) + "+src"
+    except Exception:
+        pass
+    return "unknown"
 
 
 def main(argv=None):

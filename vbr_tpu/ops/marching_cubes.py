@@ -594,13 +594,18 @@ def extract_mesh(
     )
     mask = np.unpackbits(np.asarray(packed), count=n_cells).astype(bool)
     idx = np.flatnonzero(mask)
+    emit_kw = {}
+    if emit == "device_table" and len(idx) > capacity:
+        # chunked: pay the dense config pass once, not once per chunk
+        emit_kw["cfg_flat"] = cell_configs(
+            volume_d, level=float(level)).reshape(-1)
     tris_out = []
     for start in range(0, len(idx), capacity):
         chunk = idx[start : start + capacity]
         padded = np.zeros(capacity, np.int64)
         padded[: len(chunk)] = chunk
         verts, valid = emit_fn(
-            volume_d, jnp.asarray(padded), capacity=capacity
+            volume_d, jnp.asarray(padded), capacity=capacity, **emit_kw
         )
         verts = np.asarray(verts)
         valid = np.asarray(valid).copy()
@@ -642,10 +647,14 @@ def table_emitter(algorithm: str, ambiguity: str = "separate",
     va_bf = jnp.asarray(tvalid.astype(np.float32), jnp.bfloat16)
 
     @functools.partial(jax.jit, static_argnames=("capacity",))
-    def emit(volume, cell_idx, *, capacity):
-        cfg_d = cell_configs(volume, level=float(level))
-        ny1, nz1 = cfg_d.shape[1], cfg_d.shape[2]
-        cfg = jnp.take(cfg_d.reshape(-1), cell_idx).astype(jnp.int32)
+    def emit(volume, cell_idx, *, capacity, cfg_flat=None):
+        # cfg_flat: optional precomputed cell_configs(volume).reshape(-1)
+        # so chunked callers pay the dense O(N³) config pass once, not
+        # once per capacity chunk
+        ny1, nz1 = volume.shape[1] - 1, volume.shape[2] - 1
+        if cfg_flat is None:
+            cfg_flat = cell_configs(volume, level=float(level)).reshape(-1)
+        cfg = jnp.take(cfg_flat, cell_idx).astype(jnp.int32)
         onehot = (
             cfg[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :]
         ).astype(jnp.bfloat16)

@@ -84,7 +84,7 @@ def sharded_mesh_extractor(mesh: Mesh, axis: str = "grid",
                            capacity: int = 16384,
                            algorithm: str = "tetrahedra",
                            ambiguity: str = "separate",
-                           emit: str = "auto"):
+                           emit: str = "table"):
     """Jitted sharded program: volume → per-shard triangle buffers.
 
     ``capacity`` is the PER-SHARD active-cell capacity; ``algorithm`` is
@@ -99,11 +99,13 @@ def sharded_mesh_extractor(mesh: Mesh, axis: str = "grid",
     exceeds ``capacity`` has truncated output (caller must re-run with a
     larger capacity — counts make that detectable).
 
-    ``emit="auto"`` (default) uses the generated-table MXU emitter
+    ``emit="table"`` uses the generated-table MXU emitter
     (``mc.table_emitter``: one config gather per cell + one-hot matmuls
-    — bit-identical to the per-cell path, ~50× less gather traffic; the
-    sharded volume is binary by contract); ``emit="device"`` keeps the
-    per-cell gather emitters (the oracle path).
+    — bit-identical to the per-cell path on BINARY volumes, ~50× less
+    gather traffic); ``emit="device"`` keeps the per-cell gather
+    emitters (the oracle path, and the only correct one for non-binary
+    scalar fields).  :func:`extract_mesh_sharded` resolves its
+    ``"auto"`` to one of these by the volume's dtype.
     """
     key = (mesh, axis, capacity, algorithm, ambiguity, emit)
     if key in _EXTRACTOR_CACHE:
@@ -116,7 +118,7 @@ def sharded_mesh_extractor(mesh: Mesh, axis: str = "grid",
         tpc = mc._MC_MAXTS[ambiguity]
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    if emit == "auto":
+    if emit == "table":
         emit_fn = mc.table_emitter(algorithm, ambiguity, 0.5)
     elif emit != "device":
         raise ValueError(f"unknown emit strategy {emit!r}")
@@ -183,11 +185,19 @@ def extract_mesh_sharded(
             "ambiguity is only supported with algorithm='cubes' (the "
             "6-tet decomposition has no ambiguous faces)"
         )
+    if emit not in ("auto", "device"):
+        raise ValueError(f"unknown emit strategy {emit!r}")
+    # "auto" = the table MXU emitter, but ONLY for binary volumes (a
+    # float scalar field needs the per-cell emitters' real level-crossing
+    # interpolation; the level-0.5 table would midpoint-snap it)
+    is_binary = np.dtype(volume.dtype) == np.bool_
+    resolved = "table" if (emit == "auto" and is_binary) else "device"
     nx = volume.shape[0]
     n_shards = mesh.shape[axis]
     if nx % n_shards != 0:
         return mc.extract_mesh(volume, origin, spacing, capacity,
-                               algorithm=algorithm, ambiguity=ambiguity)
+                               algorithm=algorithm, ambiguity=ambiguity,
+                               emit="auto" if emit == "auto" else "device")
 
     vol_sharded = jax.device_put(
         jnp.asarray(volume), NamedSharding(mesh, P(axis, None, None))
@@ -196,7 +206,7 @@ def extract_mesh_sharded(
     cap = capacity
     while True:
         fn = sharded_mesh_extractor(mesh, axis, cap, algorithm,
-                                    ambiguity, emit)
+                                    ambiguity, resolved)
         verts, valid, counts, total = fn(vol_sharded)
         counts = np.asarray(counts)
         if counts.max(initial=0) <= cap:
