@@ -16,7 +16,12 @@ total.  If backend init *hangs* (the observed ~9-minute outage mode that
 produced an empty r3 record), a watchdog emits the last successful run's
 persisted result flagged `"basis": "cached", "stale": true` so the driver
 always receives an honest parseable line; any later real measurement
-supersedes it.
+supersedes it.  The watchdog is a SUBPROCESS, not a thread: the hang
+happens inside backend-init C code that holds the GIL, so no thread of
+this process runs during it (observed live: a 420 s stalled run with the
+earlier 240 s *thread* watchdog emitted zero bytes).  Parent and child
+serialize their prints with a file lock, and the child stays silent once
+the real headline exists — a stale line can never be the last one.
 
 Kernel provenance is explicit: the headline value carries extra.kernel
 ("pallas" = fused blocked Pallas kernel, "tables" = XLA gather path) and a
@@ -32,50 +37,34 @@ timing (bit-exact, reference trunc semantics of voxel_reconstruction.py:
 105-122); colors are compared at occupied voxels.
 """
 
+import contextlib
 import json
 import os
+import subprocess
 import sys
-import threading
 import time
 
 import numpy as np
 
-_CACHE_PATH = os.path.join(
+_CACHE_PATH = os.environ.get("VBR_BENCH_CACHE") or os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "artifacts", "last_bench.json"
 )
 
 
-def _stall_watchdog(headline_emitted, timeout_s):
-    """Guarantee SOME parseable output even if the tunnel stalls.
-
-    The observed worst outage mode is not an UNAVAILABLE raise (handled by
-    _devices_or_reexec) but a backend init / first device op that simply
-    HANGS for ~9 minutes — the driver's timeout then kills the process with
-    zero bytes emitted (this is exactly what produced the empty r3 record).
-    If the headline has not been printed within `timeout_s`, emit the last
-    successful run's result, explicitly flagged `"basis": "cached"` +
-    `"stale": true`, so the consumer gets an honest, clearly-labeled value
-    instead of nothing.  If the run recovers, the real headline prints
-    later and supersedes this line (the consumer takes the LAST complete
-    JSON line).  A fast *failure* (exception before the headline) exits
-    before the watchdog fires and emits nothing — cached output covers
-    environmental stalls only, never code bugs."""
-    if headline_emitted.wait(timeout_s):
-        return
+def _load_cached():
+    """The last successful run's persisted result, or None if absent/bad."""
     try:
         with open(_CACHE_PATH) as f:
             saved = json.load(f)
     except (OSError, ValueError):
-        saved = None
-    if saved is not None and not isinstance(saved.get("result"), dict):
-        saved = None
-    if headline_emitted.is_set():
-        return  # the real headline won the race: never print stale after it
-    if saved is None:
-        print(f"# watchdog: no headline after {timeout_s:.0f}s and no "
-              "cached result to fall back to", file=sys.stderr)
-        sys.stderr.flush()
-        return
+        return None
+    if not isinstance(saved, dict) or not isinstance(saved.get("result"), dict):
+        return None
+    return saved
+
+
+def _cached_line(saved, timeout_s):
+    """Format a persisted result as an honestly-flagged stale headline."""
     line = dict(saved["result"])
     line["basis"] = "cached"
     line["stale"] = True
@@ -85,9 +74,93 @@ def _stall_watchdog(headline_emitted, timeout_s):
         "the last successful on-chip measurement, NOT a fresh one. A later "
         "JSON line, if any, supersedes this."
     )
-    sys.stderr.flush()
-    print(json.dumps(line))
-    sys.stdout.flush()
+    return line
+
+
+@contextlib.contextmanager
+def _stdout_lock(sentinel):
+    """Serialize result lines between the bench and its watchdog child.
+
+    Both sides print headline lines only while holding this lock, and the
+    parent creates the sentinel before printing; the child re-checks the
+    sentinel under the lock, so a stale cached line can never land AFTER
+    the real headline (the consumer records the last complete line)."""
+    import fcntl
+
+    with open(sentinel + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            sys.stdout.flush()
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
+def _watchdog_child(timeout_s, sentinel, parent_pid, tick=0.2):
+    """Runs as a SEPARATE PROCESS (``bench.py --watchdog ...``).
+
+    Guarantees SOME parseable output even if the tunnel stalls.  The
+    observed worst outage mode is not an UNAVAILABLE raise (handled by
+    _devices_or_reexec) but a backend init that simply HANGS for ~9
+    minutes *inside C code holding the GIL* — a watchdog thread in the
+    bench process never gets scheduled (observed live in r4: a stalled
+    420 s run with a 240 s thread watchdog emitted zero bytes).  A child
+    process cannot be starved that way.
+
+    Waits up to ``timeout_s`` for the parent to report its headline (the
+    sentinel file).  Sentinel seen → exit silently.  Parent died without
+    a headline → exit silently too: a fast failure is a code bug whose
+    silence must not be masked by fabricated output.  Timeout with the
+    parent still alive (the stall) → print the last persisted result
+    flagged ``"basis": "cached", "stale": true`` to the inherited stdout
+    and exit; if the parent later recovers, its real headline prints
+    after ours and supersedes it."""
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if os.path.exists(sentinel):
+            return 0
+        try:
+            os.kill(parent_pid, 0)
+        except OSError:
+            return 0  # parent died before the deadline: not a stall
+        time.sleep(tick)
+    saved = _load_cached()
+    try:
+        with _stdout_lock(sentinel):
+            if os.path.exists(sentinel):
+                return 0  # the real headline won the race
+            if saved is None:
+                print(f"# watchdog: no headline after {timeout_s:.0f}s and "
+                      "no cached result to fall back to", file=sys.stderr)
+                sys.stderr.flush()
+                return 1
+            print(json.dumps(_cached_line(saved, timeout_s)))
+        return 0
+    except (BrokenPipeError, OSError):
+        return 1
+
+
+def _spawn_watchdog(timeout_s):
+    """Start the watchdog subprocess; returns (sentinel_path, child|None).
+
+    Across the _devices_or_reexec re-exec the pid and environment are
+    preserved, so the child spawned by the first exec keeps watching —
+    detected via the sentinel path already being in the environment."""
+    sentinel = os.environ.get("VBR_BENCH_WATCHDOG_SENTINEL")
+    if sentinel:
+        return sentinel, None
+    import tempfile
+
+    fd, sentinel = tempfile.mkstemp(prefix="vbr_bench_headline_")
+    os.close(fd)
+    os.unlink(sentinel)  # path reserved; existence = headline emitted
+    os.environ["VBR_BENCH_WATCHDOG_SENTINEL"] = sentinel
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--watchdog",
+         str(timeout_s), sentinel, str(os.getpid())],
+        stdin=subprocess.DEVNULL,  # stdout/stderr inherited on purpose
+    )
+    return sentinel, child
 
 
 def _marginal_ms(step, iters, pairs=3):
@@ -158,12 +231,21 @@ class _Emitter:
     supersedes the previous one; a kill between prints loses at most the
     measurement in flight."""
 
-    def __init__(self, result):
+    def __init__(self, result, sentinel=None):
         self.result = result
+        self.sentinel = sentinel
 
     def emit(self):
         sys.stderr.flush()
-        print(json.dumps(self.result))
+        if self.sentinel:
+            # sentinel first (silences the watchdog child), then the line,
+            # all under the shared lock so lines never interleave
+            with _stdout_lock(self.sentinel):
+                with open(self.sentinel, "w"):
+                    pass
+                print(json.dumps(self.result))
+        else:
+            print(json.dumps(self.result))
         sys.stdout.flush()
         if self.result.get("fallback"):
             # never persist an XLA-fallback headline: a later stalled run's
@@ -194,14 +276,23 @@ class _Emitter:
 
 
 def main():
-    headline_emitted = threading.Event()
-    threading.Thread(
-        target=_stall_watchdog,
-        args=(headline_emitted,
-              float(os.environ.get("VBR_BENCH_WATCHDOG_S", "240"))),
-        daemon=True,
-    ).start()
+    sentinel, wd_child = _spawn_watchdog(
+        float(os.environ.get("VBR_BENCH_WATCHDOG_S", "240"))
+    )
+    try:
+        return _main_measured(sentinel)
+    finally:
+        if wd_child is not None:
+            with contextlib.suppress(OSError):
+                wd_child.terminate()
+            with contextlib.suppress(Exception):
+                wd_child.wait(timeout=5)
+        for p in (sentinel, sentinel + ".lock"):
+            with contextlib.suppress(OSError):
+                os.unlink(p)
 
+
+def _main_measured(sentinel):
     import jax
 
     _devices_or_reexec(jax)
@@ -333,9 +424,8 @@ def main():
         result["extra"]["fallback_reason"] = err
     if kernel == "pallas":
         result["extra"]["parity"] = "bit-exact vs f64 table path"
-    out = _Emitter(result)
+    out = _Emitter(result, sentinel=sentinel)
     out.emit()
-    headline_emitted.set()
 
     if kernel == "pallas":
         from vbr_tpu.ops import carve_pallas
@@ -478,4 +568,8 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 5 and sys.argv[1] == "--watchdog":
+        sys.exit(_watchdog_child(
+            float(sys.argv[2]), sys.argv[3], int(sys.argv[4])
+        ))
     sys.exit(main())

@@ -6,27 +6,33 @@ JSON line.  Two hard-won outage modes (VERDICT r3 weak #1) are locked here:
 * backend-init *raise* (UNAVAILABLE) → bounded re-exec retry
   (``bench._devices_or_reexec``), and
 * backend-init *hang* (the ~9-minute tunnel stall that produced the empty
-  r3 record) → ``bench._stall_watchdog`` emits the persisted last-good
-  result flagged ``"basis": "cached", "stale": true``.
+  r3 record) → the watchdog emits the persisted last-good result flagged
+  ``"basis": "cached", "stale": true``.
 
-These tests exercise the watchdog in-process with a fake cache; no device
-or jax import is needed (``bench`` only imports jax inside ``main``).
+The watchdog is a SUBPROCESS (``bench.py --watchdog``), not a thread: the
+stall happens inside backend-init C code that holds the GIL, so no thread
+of the bench process runs during it (observed live in r4 — a 420 s stalled
+run with a 240 s thread watchdog emitted zero bytes).  These tests run the
+real child process with a fake cache via ``VBR_BENCH_CACHE``; no device or
+jax import is needed (``bench`` only imports jax inside the measured run).
 """
 
-import contextlib
-import io
 import json
-import threading
+import os
+import subprocess
+import sys
+import time
 
 import pytest
 
 import bench
 
+BENCH = os.path.abspath(bench.__file__)
+
 
 @pytest.fixture
-def fake_cache(tmp_path, monkeypatch):
+def fake_cache(tmp_path):
     path = tmp_path / "last_bench.json"
-    monkeypatch.setattr(bench, "_CACHE_PATH", str(path))
     saved = {
         "saved_at": "2026-08-19T07:27:00Z",
         "result": {
@@ -40,41 +46,95 @@ def fake_cache(tmp_path, monkeypatch):
         },
     }
     path.write_text(json.dumps(saved))
-    return saved
+    return str(path), saved
 
 
-def _run_watchdog(event, timeout):
-    out = io.StringIO()
-    with contextlib.redirect_stdout(out):
-        bench._stall_watchdog(event, timeout)
-    return out.getvalue()
+def _run_child(timeout_s, sentinel, parent_pid, cache_path, run_timeout=20):
+    env = dict(os.environ, VBR_BENCH_CACHE=cache_path)
+    return subprocess.run(
+        [sys.executable, BENCH, "--watchdog", str(timeout_s), sentinel,
+         str(parent_pid)],
+        capture_output=True, text=True, timeout=run_timeout, env=env,
+    )
 
 
-def test_stall_emits_cached_line_flagged_stale(fake_cache):
-    line = _run_watchdog(threading.Event(), 0.05).strip()
-    got = json.loads(line)  # exactly one complete JSON line
+def test_stall_emits_cached_line_flagged_stale(tmp_path, fake_cache):
+    cache_path, saved = fake_cache
+    # parent (this test process) stays alive past the deadline = a stall
+    proc = _run_child(0.3, str(tmp_path / "sentinel"), os.getpid(), cache_path)
+    assert proc.returncode == 0
+    got = json.loads(proc.stdout.strip())  # exactly one complete JSON line
     assert got["basis"] == "cached"
     assert got["stale"] is True
-    assert got["cached_at"] == fake_cache["saved_at"]
-    assert got["value"] == fake_cache["result"]["value"]
-    assert got["metric"] == fake_cache["result"]["metric"]
+    assert got["cached_at"] == saved["saved_at"]
+    assert got["value"] == saved["result"]["value"]
+    assert got["metric"] == saved["result"]["metric"]
     assert "note" in got  # human-readable outage explanation
 
 
-def test_healthy_run_prints_nothing(fake_cache):
-    done = threading.Event()
-    done.set()  # headline already emitted before the deadline
-    assert _run_watchdog(done, 0.05) == ""
+def test_sentinel_silences_the_watchdog(tmp_path, fake_cache):
+    cache_path, _ = fake_cache
+    sentinel = tmp_path / "sentinel"
+    sentinel.write_text("")  # headline already emitted
+    t0 = time.monotonic()
+    proc = _run_child(30.0, str(sentinel), os.getpid(), cache_path)
+    assert proc.returncode == 0
+    assert proc.stdout == ""  # healthy run: the watchdog prints nothing
+    assert time.monotonic() - t0 < 10  # exited at once, not at the deadline
 
 
-def test_stall_without_cache_prints_no_stdout(tmp_path, monkeypatch):
-    monkeypatch.setattr(bench, "_CACHE_PATH", str(tmp_path / "absent.json"))
-    # a fast code failure must NOT be masked by fabricated output
-    assert _run_watchdog(threading.Event(), 0.05) == ""
+def test_parent_death_before_deadline_is_silent(tmp_path, fake_cache):
+    # a fast code failure (parent exits before the deadline without a
+    # headline) must NOT be masked by fabricated output
+    cache_path, _ = fake_cache
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    t0 = time.monotonic()
+    proc = _run_child(30.0, str(tmp_path / "sentinel"), dead.pid, cache_path)
+    assert proc.returncode == 0
+    assert proc.stdout == ""
+    assert time.monotonic() - t0 < 10
+
+
+def test_stall_without_cache_prints_no_stdout(tmp_path):
+    proc = _run_child(0.3, str(tmp_path / "sentinel"), os.getpid(),
+                      str(tmp_path / "absent.json"))
+    assert proc.stdout == ""
+    assert proc.returncode != 0
+    assert "no cached result" in proc.stderr
+
+
+def test_sentinel_rechecked_under_the_lock(tmp_path, fake_cache, monkeypatch):
+    # headline wins the race between the deadline passing and the cached
+    # print: the stale line must never be printed once the sentinel exists
+    cache_path, _ = fake_cache
+    monkeypatch.setenv("VBR_BENCH_CACHE", cache_path)
+    monkeypatch.setattr(bench, "_CACHE_PATH", cache_path)
+    sentinel = tmp_path / "sentinel"
+
+    real_lock = bench._stdout_lock
+
+    def lock_then_headline(path):
+        sentinel.write_text("")  # the parent emitted while we slept
+        return real_lock(path)
+
+    monkeypatch.setattr(bench, "_stdout_lock", lock_then_headline)
+    assert bench._watchdog_child(0.05, str(sentinel), os.getpid()) == 0
+
+
+def test_watchdog_rejects_malformed_cache(tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"no_result_key": 1}))
+    proc = _run_child(0.3, str(tmp_path / "sentinel"), os.getpid(), str(bad))
+    assert proc.stdout == ""
+    assert proc.returncode != 0
 
 
 def test_emit_persists_result_for_the_watchdog(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "_CACHE_PATH", str(tmp_path / "lb.json"))
+    import contextlib
+    import io
+
     result = {"metric": "m", "value": 1.0, "unit": "u", "extra": {}}
     with contextlib.redirect_stdout(io.StringIO()):
         bench._Emitter(result).emit()
@@ -87,6 +147,9 @@ def test_emit_never_persists_a_fallback_headline(tmp_path, monkeypatch):
     # an XLA-fallback number must not be replayable by a later watchdog
     # as "the last successful on-chip measurement"
     monkeypatch.setattr(bench, "_CACHE_PATH", str(tmp_path / "lb.json"))
+    import contextlib
+    import io
+
     result = {"metric": "m", "value": 93.0, "unit": "u", "fallback": True,
               "extra": {"kernel": "tables"}}
     with contextlib.redirect_stdout(io.StringIO()):
@@ -94,24 +157,38 @@ def test_emit_never_persists_a_fallback_headline(tmp_path, monkeypatch):
     assert not (tmp_path / "lb.json").exists()
 
 
-def test_watchdog_rechecks_after_cache_read(fake_cache):
-    # headline wins the race between wait() timing out and the cached
-    # print: the stale line must never be the LAST (recorded) line
-    class _SetAfterFirstWait:
-        def __init__(self):
-            self._set = False
+def test_emit_with_sentinel_touches_it_first(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_CACHE_PATH", str(tmp_path / "lb.json"))
+    import contextlib
+    import io
 
-        def wait(self, timeout):
-            return False  # timed out → watchdog proceeds to the cache read
-
-        def is_set(self):
-            return True  # ...but the real headline printed meanwhile
-
-    assert _run_watchdog(_SetAfterFirstWait(), 0.01) == ""
+    sentinel = tmp_path / "sentinel"
+    out = io.StringIO()
+    result = {"metric": "m", "value": 1.0, "unit": "u", "extra": {}}
+    with contextlib.redirect_stdout(out):
+        bench._Emitter(result, sentinel=str(sentinel)).emit()
+    assert sentinel.exists()  # any pending watchdog child now stays silent
+    assert json.loads(out.getvalue().strip()) == result
 
 
-def test_watchdog_rejects_malformed_cache(tmp_path, monkeypatch):
-    path = tmp_path / "bad.json"
-    path.write_text(json.dumps({"no_result_key": 1}))
-    monkeypatch.setattr(bench, "_CACHE_PATH", str(path))
-    assert _run_watchdog(threading.Event(), 0.01) == ""
+def test_gil_held_stall_still_produces_output(tmp_path, fake_cache):
+    """End-to-end lock of the r4 failure mode: a parent whose main thread
+    hangs while HOLDING the GIL still yields a parseable cached line,
+    because the watchdog is a separate process."""
+    cache_path, saved = fake_cache
+    parent_src = (
+        "import sys, os; sys.path.insert(0, %r); os.environ['VBR_BENCH_CACHE'] = %r;\n"
+        "import bench\n"
+        "sentinel, child = bench._spawn_watchdog(1.0)\n"
+        "import re\n"
+        # catastrophic-backtracking regex: C-level, holds the GIL ~3-5 s
+        # (calibrated: n=26 ≈ 3.4 s) — long past the 1 s watchdog deadline
+        "re.match(r'(a+)+$', 'a' * 26 + 'b')\n"
+    ) % (os.path.dirname(BENCH), cache_path)
+    proc = subprocess.run(
+        [sys.executable, "-c", parent_src],
+        capture_output=True, text=True, timeout=60,
+    )
+    got = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert got["basis"] == "cached" and got["stale"] is True
+    assert got["value"] == saved["result"]["value"]
