@@ -148,7 +148,7 @@ def _spawn_watchdog(timeout_s):
     detected via the sentinel path already being in the environment."""
     sentinel = os.environ.get("VBR_BENCH_WATCHDOG_SENTINEL")
     if sentinel:
-        return sentinel, None
+        return sentinel, int(os.environ.get("VBR_BENCH_WATCHDOG_PID", "0"))
     import tempfile
 
     fd, sentinel = tempfile.mkstemp(prefix="vbr_bench_headline_")
@@ -160,6 +160,7 @@ def _spawn_watchdog(timeout_s):
          str(timeout_s), sentinel, str(os.getpid())],
         stdin=subprocess.DEVNULL,  # stdout/stderr inherited on purpose
     )
+    os.environ["VBR_BENCH_WATCHDOG_PID"] = str(child.pid)
     return sentinel, child
 
 
@@ -282,14 +283,39 @@ def main():
     try:
         return _main_measured(sentinel)
     finally:
-        if wd_child is not None:
-            with contextlib.suppress(OSError):
-                wd_child.terminate()
-            with contextlib.suppress(Exception):
-                wd_child.wait(timeout=5)
-        for p in (sentinel, sentinel + ".lock"):
-            with contextlib.suppress(OSError):
-                os.unlink(p)
+        _reap_watchdog(wd_child, sentinel)
+
+
+def _reap_watchdog(wd_child, sentinel):
+    """Terminate the watchdog child, then remove the sentinel files.
+
+    The child must be GONE before the sentinel is removed: on a run that
+    exits quickly after its headline, deleting the sentinel while the
+    child is still polling would let a stale cached line print AFTER the
+    real one.  `wd_child` is a Popen handle, or (on the re-exec retry
+    path, where the pre-exec child survives — same parent pid, same
+    sentinel) the adopted child's pid from the env."""
+    if isinstance(wd_child, subprocess.Popen):
+        with contextlib.suppress(OSError):
+            wd_child.terminate()
+        with contextlib.suppress(Exception):
+            wd_child.wait(timeout=5)
+    elif wd_child:  # adopted across os.execv: pid only
+        import signal
+
+        with contextlib.suppress(OSError):
+            os.kill(wd_child, signal.SIGTERM)
+        deadline = time.monotonic() + 5
+        while time.monotonic() < deadline:
+            try:
+                if os.waitpid(wd_child, os.WNOHANG) != (0, 0):
+                    break
+            except OSError:
+                break  # already reaped / not our child
+            time.sleep(0.05)
+    for p in (sentinel, sentinel + ".lock"):
+        with contextlib.suppress(OSError):
+            os.unlink(p)
 
 
 def _main_measured(sentinel):

@@ -171,6 +171,41 @@ def test_emit_with_sentinel_touches_it_first(tmp_path, monkeypatch):
     assert json.loads(out.getvalue().strip()) == result
 
 
+def test_reexec_adopted_child_is_reaped_on_fast_exit(tmp_path, fake_cache):
+    """The _devices_or_reexec retry path: the watchdog spawned by the
+    first exec survives os.execv (same parent pid, env-carried sentinel
+    + child pid).  A post-exec run that emits its headline and exits
+    immediately must still terminate that adopted child — otherwise the
+    orphan holds the stdout pipe open (the driver waits on EOF) and can
+    print a stale cached line AFTER the real headline."""
+    cache_path, _ = fake_cache
+    script = tmp_path / "reexec_parent.py"
+    script.write_text(
+        "import os, sys\n"
+        f"sys.path.insert(0, {os.path.dirname(BENCH)!r})\n"
+        f"os.environ['VBR_BENCH_CACHE'] = {cache_path!r}\n"
+        "import bench\n"
+        "if len(sys.argv) == 1:\n"
+        "    bench._spawn_watchdog(30.0)  # long deadline: never fires\n"
+        "    os.execv(sys.executable, [sys.executable, __file__, 'stage2'])\n"
+        "# stage 2 (post-exec): adopt the child, emit, exit at once\n"
+        "sentinel, wd_child = bench._spawn_watchdog(30.0)\n"
+        "assert wd_child and not hasattr(wd_child, 'poll')  # adopted pid\n"
+        "bench._Emitter({'metric': 'm', 'value': 2.0, 'unit': 'u',\n"
+        "                'extra': {}}, sentinel=sentinel).emit()\n"
+        "bench._reap_watchdog(wd_child, sentinel)\n"
+    )
+    t0 = time.monotonic()
+    proc = subprocess.run([sys.executable, str(script)], capture_output=True,
+                          text=True, timeout=20)
+    # fast EOF proves the adopted child was killed, not left to its 30 s
+    # deadline; a single real line proves no stale output followed it
+    assert time.monotonic() - t0 < 10
+    lines = proc.stdout.strip().splitlines()
+    assert len(lines) == 1
+    assert json.loads(lines[0])["value"] == 2.0
+
+
 def test_gil_held_stall_still_produces_output(tmp_path, fake_cache):
     """End-to-end lock of the r4 failure mode: a parent whose main thread
     hangs while HOLDING the GIL still yields a parseable cached line,
