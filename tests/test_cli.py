@@ -160,6 +160,20 @@ def test_cli_pipeline_stream(rig_dir, out_dir):
     assert n > 0
 
 
+def test_cli_pipeline_offline(rig_dir, out_dir):
+    """Offline whole-video mode: chunks of N frames per fused launch,
+    host color gather, PLY of frame 0."""
+    ply = os.path.join(out_dir, "offline.ply")
+    cli.main(["pipeline", "--cpu", "--data", rig_dir, "--out-dir", out_dir,
+              "--grid", "16", "--frames", "3", "--offline", "2",
+              "--ply", ply])
+    with open(ply, "rb") as f:
+        head = f.read(400).decode("latin1")
+    n = int([ln for ln in head.splitlines()
+             if ln.startswith("element vertex")][0].split()[-1])
+    assert n > 0
+
+
 def test_cli_render_headless_png(rig_dir, out_dir):
     png = os.path.join(out_dir, "render.png")
     cli.main(["render", "--cpu", "--data", rig_dir, "--out-dir", out_dir,

@@ -688,8 +688,9 @@ def _render_gl_offscreen(pos, col, cams, wh=(1280, 720)):
 
 
 def cmd_pipeline(args):
-    """Streaming production loop: native prefetch decode → batched mask
-    stage → host CCL → fused carve; per-frame latency stats."""
+    """Production loop: native prefetch decode → fused device step (mask
+    stages + CCL + carve in one program); per-frame latency stats.  With
+    --offline N, whole-video batched mode (N frames per launch)."""
     _maybe_cpu(args)
     from vbr_tpu.models import VisualHull
     from vbr_tpu.native import PrefetchingSource
@@ -703,6 +704,42 @@ def cmd_pipeline(args):
         [os.path.join(args.data, f"cam{i}", "video.avi")
          for i in range(1, 5)]
     )
+    if getattr(args, "offline", 0) > 0:
+        # whole-video offline path: ONE fused device program per chunk
+        # (batched mask stages + frame-packed counts carve), colors
+        # gathered host-side at occupied voxels
+        frames_list = []
+        while args.frames <= 0 or len(frames_list) < args.frames:
+            frames = src.next_frames()
+            if frames is None:
+                break
+            frames_list.append(frames)
+        src.close()
+        if not frames_list:
+            print("no frames available")
+            return
+        batch = np.stack(frames_list)
+        t0 = time.time()
+        occ, colors = model.process_frames_offline(
+            batch, frames_per_launch=args.offline
+        )
+        dt = time.time() - t0
+        print(f"{len(batch)} frames offline ({args.offline}/launch): "
+              f"{dt / len(batch) * 1e3:.1f} ms/frame "
+              f"({len(batch) / dt:.2f} fps) incl. upload/download")
+        if args.ply:
+            rig = model.rig
+            pts = model.grid.voxel_points()
+            idx, col = colors[0]
+            kept = np.trunc(pts[idx])
+            pos = np.stack(
+                [kept[:, 0], -kept[:, 2], kept[:, 1]], -1
+            ).astype(np.float32) / rig.scaling_factor
+            rgb = col[:, ::-1].astype(np.float32) / 255.0
+            reconstruction.write_ply(args.ply, pos, rgb)
+            print(f"  wrote {args.ply} ({len(pos)} voxels, frame 0)")
+        return
+
     times = []
     i = 0
     while args.frames <= 0 or i < args.frames:
@@ -844,6 +881,9 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=20)
     p.add_argument("--grid", type=int, default=128)
     p.add_argument("--ply", default="")
+    p.add_argument("--offline", type=int, default=0, metavar="N",
+                   help="offline whole-video mode: N frames per fused "
+                        "device launch (VisualHull.process_frames_offline)")
     p.set_defaults(fn=cmd_pipeline)
 
     p = sub.add_parser("view")
