@@ -43,15 +43,21 @@ def main():
     from vbr_tpu.utils.config import GridConfig
 
     cache = None
+    g = 512
+    n_cams = 8
     for a in sys.argv[1:]:
         if a.startswith("--cache="):
             cache = a.split("=", 1)[1]
+        if a.startswith("--grid="):
+            g = int(a.split("=", 1)[1])
+        if a.startswith("--cams="):
+            n_cams = int(a.split("=", 1)[1])
 
-    cams = synthetic.synthetic_cameras(8)
-    _, masks, frames = synthetic.synthetic_rig(num_cameras=8)
-    grid = GridConfig(nx=512, ny=512, nz=512)
+    cams = synthetic.synthetic_cameras(n_cams)
+    _, masks, frames = synthetic.synthetic_rig(num_cameras=n_cams)
+    grid = GridConfig(nx=g, ny=g, nz=g)
 
-    if cache and os.path.exists(cache):
+    if cache and os.path.exists(cache) and g == 512 and n_cams == 8:
         z = np.load(cache)
         WH, WC, Hp, Wc = [int(v) for v in z["meta"][:4]]
         perm, nblocks = cpk._blocked_permutation(
@@ -91,7 +97,7 @@ def main():
 
     def run():
         return cpk.carve_blocked(
-            masks_d, fc, btab, views_threshold=8, layout="blocked"
+            masks_d, fc, btab, views_threshold=n_cams, layout="blocked"
         )
 
     o = run()
@@ -106,12 +112,12 @@ def main():
     import json
 
     print(json.dumps({
-        "metric": "carve_512c8_ms_per_frame",
+        "metric": f"carve_{g}c{n_cams}_ms_per_frame",
         "value": round(dt * 1e3, 1),
         "unit": "ms/frame/chip",
         "extra": {
             "occupied_voxels": int((occ > 0).sum()),
-            "grid": "512x512x512", "cameras": 8,
+            "grid": f"{g}x{g}x{g}", "cameras": n_cams,
             "kernel": "pallas-packed",
             "sharded_8way_estimate_ms": round(dt * 1e3 / 8, 1),
         },
