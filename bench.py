@@ -517,6 +517,34 @@ def _main_measured(sentinel):
                 fused_pipeline_ms_per_frame=round(ms_pipe, 4),
                 fused_pipeline_fps=round(1e3 / ms_pipe, 1),
             )
+
+            # Fused frame→SURFACE step (r4): the same program + the
+            # device-resident marching cubes (dense config grid +
+            # fixed-capacity compaction + generated-table MXU emission)
+            # — frames in, world-space triangles out, ONE device program.
+            from vbr_tpu.ops import marching_cubes as mc_ops
+
+            mc_ops.table_emitter("cubes", "join", 0.5)  # build pre-trace
+
+            def step_surface():
+                out_ = vhm._full_step_surface(
+                    vh._stacked_fz, frames_d,
+                    vh._btab.pk, vh._btab.lcc, vh._btab.vorig,
+                    vh._btab.uorig, vh._btab.allv, vh._btab.ry,
+                    vh._btab.rx,
+                    btab_static=vhm._btab_static(vh._btab),
+                    mask_params=vh._mask_params_t,
+                    use_hsv=vh.mog_params[0].use_hsv,
+                    fig_thresholds=vh._fig_thresholds,
+                    inner_thresholds=vh._inner_thresholds,
+                    views_threshold=rig.views_threshold,
+                    grid_shape=grid.shape, algorithm="cubes",
+                    ambiguity="join", capacity=32768,
+                )
+                return (out_[0],)
+
+            ms_surf, _, _ = _marginal_ms(step_surface, 10)
+            out.extra(fused_surface_ms_per_frame=round(ms_surf, 4))
         except Exception as e:  # never fail the headline on this
             out.extra(fused_pipeline_error=f"{type(e).__name__}: {e}")
 

@@ -1,0 +1,154 @@
+"""Device-resident surface extraction (ops.marching_cubes.surface_program)
+and the fused frame→mesh step (VisualHull.process_frame_surface).
+
+Gates: surface_program's filtered triangles are BIT-IDENTICAL to
+extract_mesh on the same volume (all algorithms/ambiguity rules), the
+capacity-overflow signal fires, and the one-program frame→mesh step
+reproduces extract_surface exactly on a synthetic rig.  Reference analog:
+the offline skimage+matplotlib surface of voxel_reconstruction.py:127-163,
+here as a streaming device program.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from vbr_tpu.ops import marching_cubes as mc
+from vbr_tpu.pipelines import background
+from vbr_tpu.utils import synthetic
+from vbr_tpu.utils.config import (
+    DEFAULT_MASK_PARAMS,
+    GridConfig,
+    MOGParams,
+    RigConfig,
+)
+
+
+def _random_volume(seed, shape=(12, 10, 14), p=0.35):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(size=shape) < p
+
+
+@pytest.mark.parametrize(
+    "algorithm,ambiguity",
+    [("tetrahedra", "separate"), ("cubes", "separate"), ("cubes", "join")],
+)
+def test_surface_program_matches_extract_mesh(algorithm, ambiguity):
+    vol = _random_volume(3)
+    origin = (-512.0, -1024.0, -2048.0)
+    spacing = (12.0, 16.0, 20.0)
+    ref, n_ref = mc.extract_mesh(
+        vol, origin=origin, spacing=spacing, algorithm=algorithm,
+        ambiguity=ambiguity,
+    )
+    verts, valid, n_active = mc.surface_program(
+        np.asarray(vol), algorithm=algorithm, ambiguity=ambiguity,
+        capacity=2048,
+    )
+    assert int(n_active) <= 2048
+    got = mc.world_triangles(verts, valid, origin, spacing)
+    assert got.shape == (n_ref, 3, 3)
+    np.testing.assert_array_equal(got, ref)  # bit-identical
+
+
+def test_surface_program_empty_and_full():
+    empty = np.zeros((6, 6, 6), bool)
+    verts, valid, n_active = mc.surface_program(empty, capacity=64)
+    assert int(n_active) == 0 and not np.asarray(valid).any()
+    full = np.ones((6, 6, 6), bool)
+    verts, valid, n_active = mc.surface_program(full, capacity=64)
+    assert int(n_active) == 0 and not np.asarray(valid).any()
+
+
+def test_surface_program_capacity_overflow_is_signaled():
+    vol = _random_volume(11)
+    ref, n_ref = mc.extract_mesh(vol, algorithm="tetrahedra")
+    _, _, n_active = mc.surface_program(vol, capacity=8)
+    assert int(n_active) > 8  # caller must redo via extract_mesh
+
+
+H, W = 64, 96
+C = 4
+
+
+@pytest.fixture(scope="module")
+def model_and_frame():
+    from vbr_tpu.models.visual_hull import VisualHull
+
+    cams = synthetic.synthetic_cameras(C, image_hw=(H, W), f=80.0)
+    grid = GridConfig(
+        nx=32, ny=32, nz=32,
+        x_min=-900, x_max=1100, y_min=-1050, y_max=950,
+        z_min=-1700, z_max=300,
+    )
+    mask_params = tuple(
+        dataclasses.replace(p, figure_threshold=40.0, inner_threshold=8.0)
+        for p in DEFAULT_MASK_PARAMS[:C]
+    )
+    model = VisualHull(
+        cams, grid, RigConfig(image_height=H, image_width=W),
+        mask_params=mask_params,
+    )
+    rng = np.random.default_rng(7)
+    bg = rng.integers(0, 200, size=(C, 6, H, W, 3), dtype=np.uint8)
+    p = MOGParams(history=6)
+    model.bg_states = [
+        background.train_background_model(bg[c], p) for c in range(C)
+    ]
+    model.mog_params = [p] * C
+    frame = bg[:, 0].copy()
+    frame[:, 14:44, 22:60] = 255
+    return model, frame
+
+
+@pytest.mark.parametrize(
+    "algorithm,ambiguity", [("tetrahedra", "separate"), ("cubes", "join")]
+)
+def test_process_frame_surface_matches_extract_surface(
+    model_and_frame, algorithm, ambiguity
+):
+    model, frame = model_and_frame
+    tris, occ, col = model.process_frame_surface(
+        frame, algorithm=algorithm, ambiguity=ambiguity, capacity=4096
+    )
+    occ_ref, col_ref = model.process_frame(frame)
+    occ_ref = np.asarray(occ_ref)
+    assert occ_ref.any(), "degenerate fixture: nothing carved"
+    np.testing.assert_array_equal(np.asarray(occ), occ_ref)
+    np.testing.assert_array_equal(
+        np.asarray(col)[occ_ref], np.asarray(col_ref)[occ_ref]
+    )
+    ref_tris, n_ref = model.extract_surface(
+        frame, algorithm=algorithm, ambiguity=ambiguity
+    )
+    assert len(tris) == n_ref > 0
+    np.testing.assert_array_equal(tris, ref_tris)
+
+
+def test_process_frame_surface_capacity_fallback(model_and_frame):
+    model, frame = model_and_frame
+    # force the capacity fallback: still exact, via the host redo
+    tris, occ, _ = model.process_frame_surface(frame, capacity=8)
+    ref_tris, n_ref = model.extract_surface(frame)
+    assert len(tris) == n_ref
+    np.testing.assert_array_equal(tris, ref_tris)
+
+
+def test_stream_surface_matches_per_frame(model_and_frame):
+    model, frame = model_and_frame
+    # 3 distinct frame-sets through the depth-2 pipeline
+    f1 = frame.copy()
+    f1[:, 18:48, 30:68] = 255
+    f2 = frame.copy()
+    f2[:, 8:50, 26:58] = 255
+    frames = [frame, f1, f2]
+    out = list(model.stream_surface(iter(frames), depth=2, capacity=4096))
+    assert len(out) == 3
+    for fr, (tris, occ) in zip(frames, out):
+        ref_tris, ref_occ, _ = model.process_frame_surface(
+            fr, algorithm="cubes", ambiguity="join", capacity=4096
+        )
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref_occ))
+        np.testing.assert_array_equal(tris, ref_tris)
+    assert not np.array_equal(np.asarray(out[0][1]), np.asarray(out[2][1]))

@@ -415,18 +415,24 @@ def _binary_emit_table(algorithm: str, ambiguity: str, level: float):
         for k, (dx, dy, dz) in enumerate(_CORNERS):
             if cfg >> k & 1:
                 vol[dx, dy, 4 * cfg + dz] = 1.0
-    cells = jnp.asarray(np.arange(256, dtype=np.int64) * 4)
-    if algorithm == "tetrahedra":
-        T = 12
-        verts, valid = _emit_triangles(jnp.asarray(vol), cells, capacity=256)
-    else:
-        T = _MC_MAXTS[ambiguity]
-        verts, valid = _emit_triangles_mc(
-            jnp.asarray(vol), cells, capacity=256,
-            ambiguity=ambiguity, level=float(level),
-        )
-    verts = np.array(verts).reshape(256, T, 3, 3)
-    valid = np.array(valid).reshape(256, T)
+    # ensure_compile_time_eval: the builder may be reached while TRACING a
+    # larger program (surface_program under jit) — the emitter runs must
+    # stay eager/concrete, not become tracers of the enclosing trace
+    with jax.ensure_compile_time_eval():
+        cells = jnp.asarray(np.arange(256, dtype=np.int64) * 4)
+        if algorithm == "tetrahedra":
+            T = 12
+            verts, valid = _emit_triangles(
+                jnp.asarray(vol), cells, capacity=256
+            )
+        else:
+            T = _MC_MAXTS[ambiguity]
+            verts, valid = _emit_triangles_mc(
+                jnp.asarray(vol), cells, capacity=256,
+                ambiguity=ambiguity, level=float(level),
+            )
+        verts = np.array(verts).reshape(256, T, 3, 3)
+        valid = np.array(valid).reshape(256, T)
     verts[..., 2] -= (np.arange(256, dtype=np.float32) * 4)[:, None, None]
     _BINARY_EMIT_TABLES[key] = (verts, valid)
     return verts, valid
@@ -638,13 +644,16 @@ def table_emitter(algorithm: str, ambiguity: str = "separate",
         return _TABLE_EMITTERS[key]
     tv, tvalid = _binary_emit_table(algorithm, ambiguity, float(level))
     T = tv.shape[1]
-    tv_bf = jnp.asarray(tv.reshape(256, T * 9), jnp.bfloat16)
-    if not (np.asarray(tv_bf, np.float32) == tv.reshape(256, T * 9)).all():
+    with jax.ensure_compile_time_eval():  # safe to build while tracing
+        tv_bf = jnp.asarray(tv.reshape(256, T * 9), jnp.bfloat16)
+        exact = (np.asarray(tv_bf, np.float32)
+                 == tv.reshape(256, T * 9)).all()
+        va_bf = jnp.asarray(tvalid.astype(np.float32), jnp.bfloat16)
+    if not exact:
         raise ValueError(
             f"table for level={level} is not bf16-exact; use the per-cell "
             "emitters (levels 0 and 0.5 are dyadic and qualify)"
         )
-    va_bf = jnp.asarray(tvalid.astype(np.float32), jnp.bfloat16)
 
     @functools.partial(jax.jit, static_argnames=("capacity",))
     def emit(volume, cell_idx, *, capacity, cfg_flat=None):
@@ -673,6 +682,73 @@ def table_emitter(algorithm: str, ambiguity: str = "separate",
 
     _TABLE_EMITTERS[key] = emit
     return emit
+
+
+@functools.partial(
+    jax.jit, static_argnames=("algorithm", "ambiguity", "capacity")
+)
+def surface_program(
+    volume: jnp.ndarray,  # (nx, ny, nz) bool/int occupancy
+    *,
+    algorithm: str = "tetrahedra",
+    ambiguity: str = "separate",
+    capacity: int = 32768,
+):
+    """Fully device-resident surface extraction for a BINARY volume.
+
+    The jittable composition of the binary fast path: dense config grid
+    (:func:`cell_configs`, shifted adds only) → fixed-``capacity``
+    active-cell compaction (``jnp.nonzero`` with a static size — ascending
+    cell order, same as the host paths) → generated-table MXU emission
+    (:func:`table_emitter`).  Everything is XLA (no host round trip, no
+    Pallas dependency), so it fuses into larger device programs — e.g.
+    the single-program frame→mesh step
+    ``VisualHull.process_frame_surface`` (the streaming analog of the
+    reference's offline ``skimage.measure.marching_cubes`` call,
+    voxel_reconstruction.py:142).
+
+    Returns ``(verts, valid, n_active)``:
+      verts    (capacity·T, 3, 3) f32 VOXEL-coordinate triangles
+      valid    (capacity·T,) bool  which rows are real triangles
+      n_active ()            i32  active cells in the volume — if it
+                                  exceeds ``capacity`` the result is
+                                  TRUNCATED and the caller must redo via
+                                  :func:`extract_mesh`.
+
+    World placement is host-side (:func:`world_triangles`) so the result
+    is bit-identical to :func:`extract_mesh` (level 0.5; gated in
+    tests): the emitter's one-hot bf16 matmuls are exact by
+    construction, and keeping ``v * spacing + origin`` as two host numpy
+    roundings avoids the single-rounded fma XLA fuses it into on device
+    (a 1-ulp divergence).
+    """
+    vol = volume.astype(bool)
+    cfg_flat = cell_configs(vol, level=0.5).reshape(-1).astype(jnp.int32)
+    active = (cfg_flat != 0) & (cfg_flat != 255)
+    n_active = jnp.sum(active.astype(jnp.int32))
+    (idx,) = jnp.nonzero(active, size=capacity, fill_value=0)
+    emit = table_emitter(algorithm, ambiguity, 0.5)
+    verts, valid = emit(vol, idx.astype(jnp.int32), capacity=capacity,
+                        cfg_flat=cfg_flat)
+    T = valid.shape[0] // capacity
+    # fill_value=0 pad slots re-emit cell 0; mask them out by slot rank
+    slot_ok = jnp.arange(capacity, dtype=jnp.int32) < n_active
+    valid = valid & jnp.repeat(slot_ok, T)
+    return verts, valid, n_active
+
+
+def world_triangles(verts, valid, origin, spacing) -> np.ndarray:
+    """Filter + world-place a :func:`surface_program` result on host.
+
+    The same two f32 numpy roundings as :func:`extract_mesh`'s tail, so
+    ``world_triangles(surface_program(v), o, s)`` is bit-identical to
+    ``extract_mesh(v, o, s)``.
+    """
+    tris = np.asarray(verts)[np.asarray(valid)]
+    return (
+        tris * np.asarray(spacing, np.float32)
+        + np.asarray(origin, np.float32)
+    ).astype(np.float32)
 
 
 def _extract_mesh_table(volume, origin, spacing, algorithm, ambiguity,
