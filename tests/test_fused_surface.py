@@ -126,6 +126,44 @@ def test_process_frame_surface_matches_extract_surface(
     np.testing.assert_array_equal(tris, ref_tris)
 
 
+def test_full_step_surface_pallas_interpret_matches_extract(model_and_frame):
+    """The production Pallas composition of _full_step_surface (the branch
+    CPU CI would otherwise never execute — conftest pins JAX_PLATFORMS=cpu
+    so the model dispatch always takes the tables branch), run in Pallas
+    interpret mode and gated bit-identically against extract_surface."""
+    import jax.numpy as jnp
+
+    from vbr_tpu.models import visual_hull as vhm
+
+    model, frame = model_and_frame
+    model._ensure_fast_state()
+    model._ensure_btab()
+    assert model._btab is not None  # 32³ grid is 8-divisible
+    mc.table_emitter("cubes", "join", 0.5)
+    verts, valid, n_active, occ, col, ovf = vhm._full_step_surface(
+        model._stacked_fz, jnp.asarray(frame),
+        model._btab.pk, model._btab.lcc, model._btab.vorig,
+        model._btab.uorig, model._btab.allv, model._btab.ry,
+        model._btab.rx, btab_static=vhm._btab_static(model._btab),
+        mask_params=model._mask_params_t,
+        use_hsv=model.mog_params[0].use_hsv,
+        fig_thresholds=model._fig_thresholds,
+        inner_thresholds=model._inner_thresholds,
+        views_threshold=model.rig.views_threshold,
+        grid_shape=model.grid.shape, algorithm="cubes", ambiguity="join",
+        capacity=4096, interpret=True,
+    )
+    assert not bool(np.asarray(ovf).any())
+    assert 0 < int(n_active) <= 4096
+    origin, spacing = model._world_frame()
+    tris = mc.world_triangles(verts, valid, origin, spacing)
+    ref_tris, n_ref = model.extract_surface(
+        frame, algorithm="cubes", ambiguity="join"
+    )
+    assert len(tris) == n_ref > 0
+    np.testing.assert_array_equal(tris, ref_tris)
+
+
 def test_process_frame_surface_capacity_fallback(model_and_frame):
     model, frame = model_and_frame
     # force the capacity fallback: still exact, via the host redo

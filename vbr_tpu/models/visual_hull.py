@@ -532,40 +532,12 @@ class VisualHull:
         """
         import collections
 
-        self._ensure_fast_state()
-        self._ensure_btab()
+        common = self._surface_common(algorithm, ambiguity, capacity)
         origin, spacing = self._world_frame()
-        mc.table_emitter(algorithm, ambiguity, 0.5)  # build outside trace
-        use_pallas = (
-            jax.default_backend() != "cpu" and self._btab is not None
-        )
-        common = dict(
-            mask_params=self._mask_params_t,
-            use_hsv=self.mog_params[0].use_hsv,
-            fig_thresholds=self._fig_thresholds,
-            inner_thresholds=self._inner_thresholds,
-            views_threshold=self.rig.views_threshold,
-            grid_shape=self.grid.shape,
-            algorithm=algorithm, ambiguity=ambiguity, capacity=capacity,
-        )
         q = collections.deque()
 
         def dispatch(frames):
-            frames_d = jnp.asarray(frames)
-            if use_pallas:
-                out = _full_step_surface(
-                    self._stacked_fz, frames_d,
-                    self._btab.pk, self._btab.lcc, self._btab.vorig,
-                    self._btab.uorig, self._btab.allv, self._btab.ry,
-                    self._btab.rx, btab_static=_btab_static(self._btab),
-                    **common,
-                )
-            else:
-                out = _full_step_surface_tables(
-                    self._stacked_fz, frames_d,
-                    self.tables.valid, self.tables.lin_idx,
-                    color_camera=self.rig.color_camera, **common,
-                )
+            out = self._dispatch_surface(jnp.asarray(frames), common)
             for x in out[:2]:  # start the device→host copies early
                 try:
                     x.copy_to_host_async()
@@ -576,13 +548,8 @@ class VisualHull:
         def resolve(entry):
             (verts, valid, n_active, occ, _col, ovf), frames = entry
             if bool(np.asarray(ovf).any()) or int(n_active) > capacity:
-                occ_h, _ = self.process_frame(frames)
-                xs, ys, zs = self.grid.axis_ranges()
-                tris, _ = mc.extract_mesh(
-                    np.asarray(occ_h).reshape(self.grid.shape),
-                    origin=(xs[0], ys[0], zs[0]),
-                    spacing=(xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]),
-                    algorithm=algorithm, ambiguity=ambiguity,
+                tris, occ_h, _col_h = self._surface_host_redo(
+                    frames, algorithm, ambiguity
                 )
                 return tris, occ_h
             return mc.world_triangles(verts, valid, origin, spacing), occ
@@ -624,10 +591,17 @@ class VisualHull:
                                         self.rig.scaling_factor)
 
     def extract_surface(self, frames: np.ndarray, masks=None,
-                        algorithm: str = "tetrahedra",
-                        ambiguity: str = "separate"):
-        """Isosurface mesh of the current hull, in world mm
-        (``algorithm``: "tetrahedra" or classic 256-case "cubes")."""
+                        algorithm: str = "cubes",
+                        ambiguity: str = "join"):
+        """Isosurface mesh of the current hull, in world mm.
+
+        ``algorithm``: classic 256-case ``"cubes"`` (default) or
+        ``"tetrahedra"`` (6-tet decomposition, ambiguity-free).  The
+        default ``("cubes", "join")`` is the reference-parity
+        configuration — what skimage's Lewiner MC33 resolves on a binary
+        volume (voxel_reconstruction.py:142) — and is shared by every
+        surface entry point (:meth:`process_frame_surface`,
+        :meth:`stream_surface`)."""
         occ, _ = self.process_frame(frames, masks)
         volume = np.asarray(occ).reshape(self.grid.shape)
         xs, ys, zs = self.grid.axis_ranges()
@@ -645,9 +619,55 @@ class VisualHull:
              float(zs[1] - zs[0])),
         )
 
+    def _surface_common(self, algorithm, ambiguity, capacity):
+        """Shared setup for the fused frame→mesh entry points: fast
+        state + block tables + emitter table (built outside any trace),
+        returning the static kwargs of the fused surface programs."""
+        self._ensure_fast_state()
+        self._ensure_btab()
+        mc.table_emitter(algorithm, ambiguity, 0.5)  # build outside trace
+        return dict(
+            mask_params=self._mask_params_t,
+            use_hsv=self.mog_params[0].use_hsv,
+            fig_thresholds=self._fig_thresholds,
+            inner_thresholds=self._inner_thresholds,
+            views_threshold=self.rig.views_threshold,
+            grid_shape=self.grid.shape,
+            algorithm=algorithm, ambiguity=ambiguity, capacity=capacity,
+        )
+
+    def _dispatch_surface(self, frames_d, common):
+        """Launch the fused frame→mesh program (Pallas on device, XLA
+        tables on CPU/CI) → (verts, valid, n_active, occ, col, ovf)."""
+        if jax.default_backend() != "cpu" and self._btab is not None:
+            return _full_step_surface(
+                self._stacked_fz, frames_d,
+                self._btab.pk, self._btab.lcc, self._btab.vorig,
+                self._btab.uorig, self._btab.allv, self._btab.ry,
+                self._btab.rx, btab_static=_btab_static(self._btab),
+                **common,
+            )
+        return _full_step_surface_tables(
+            self._stacked_fz, frames_d,
+            self.tables.valid, self.tables.lin_idx,
+            color_camera=self.rig.color_camera, **common,
+        )
+
+    def _surface_host_redo(self, frames, algorithm, ambiguity):
+        """Exact host fallback (rare: CCL component-table overflow or
+        surface bigger than the triangle budget) → (tris, occ, col)."""
+        occ, col = self.process_frame(frames)
+        origin, spacing = self._world_frame()
+        tris, _ = mc.extract_mesh(
+            np.asarray(occ).reshape(self.grid.shape),
+            origin=origin, spacing=spacing,
+            algorithm=algorithm, ambiguity=ambiguity,
+        )
+        return tris, occ, col
+
     def process_frame_surface(self, frames: np.ndarray,
-                              algorithm: str = "tetrahedra",
-                              ambiguity: str = "separate",
+                              algorithm: str = "cubes",
+                              ambiguity: str = "join",
                               capacity: int = 32768):
         """Frame → triangle mesh in ONE device program.
 
@@ -667,48 +687,13 @@ class VisualHull:
         or more than ``capacity`` active surface cells redo the frame via
         the host paths.
         """
-        self._ensure_fast_state()
-        self._ensure_btab()
-        origin, spacing = self._world_frame()
-        mc.table_emitter(algorithm, ambiguity, 0.5)  # build outside trace
-        common = dict(
-            mask_params=self._mask_params_t,
-            use_hsv=self.mog_params[0].use_hsv,
-            fig_thresholds=self._fig_thresholds,
-            inner_thresholds=self._inner_thresholds,
-            views_threshold=self.rig.views_threshold,
-            grid_shape=self.grid.shape,
-            algorithm=algorithm, ambiguity=ambiguity, capacity=capacity,
+        common = self._surface_common(algorithm, ambiguity, capacity)
+        verts, valid, n_active, occ, col, ovf = self._dispatch_surface(
+            jnp.asarray(frames), common
         )
-        frames_d = jnp.asarray(frames)
-        if jax.default_backend() != "cpu" and self._btab is not None:
-            verts, valid, n_active, occ, col, ovf = _full_step_surface(
-                self._stacked_fz, frames_d,
-                self._btab.pk, self._btab.lcc, self._btab.vorig,
-                self._btab.uorig, self._btab.allv, self._btab.ry,
-                self._btab.rx, btab_static=_btab_static(self._btab),
-                **common,
-            )
-        else:
-            verts, valid, n_active, occ, col, ovf = (
-                _full_step_surface_tables(
-                    self._stacked_fz, frames_d,
-                    self.tables.valid, self.tables.lin_idx,
-                    color_camera=self.rig.color_camera, **common,
-                )
-            )
         if bool(np.asarray(ovf).any()) or int(n_active) > capacity:
-            # exact host redo (rare: CCL table overflow / surface bigger
-            # than the triangle budget)
-            occ, col = self.process_frame(frames)
-            xs, ys, zs = self.grid.axis_ranges()
-            tris, _ = mc.extract_mesh(
-                np.asarray(occ).reshape(self.grid.shape),
-                origin=(xs[0], ys[0], zs[0]),
-                spacing=(xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]),
-                algorithm=algorithm, ambiguity=ambiguity,
-            )
-            return tris, occ, col
+            return self._surface_host_redo(frames, algorithm, ambiguity)
+        origin, spacing = self._world_frame()
         tris = mc.world_triangles(verts, valid, origin, spacing)
         return tris, occ, col
 
@@ -934,18 +919,19 @@ def _btab_static(t):
     jax.jit,
     static_argnames=(
         "btab_static", "mask_params", "use_hsv", "fig_thresholds",
-        "inner_thresholds", "views_threshold", "layout",
+        "inner_thresholds", "views_threshold", "layout", "interpret",
     ),
 )
 def _full_step_pallas(
     stacked_fz, frames, pk, lcc, vorig, uorig, allv, ry, rx, *,
     btab_static, mask_params, use_hsv, fig_thresholds, inner_thresholds,
-    views_threshold, layout,
+    views_threshold, layout, interpret=False,
 ):
     """The whole per-frame pipeline as ONE device program:
     HSV → compressed frozen GMM apply → pre-morphology → Pallas CCL
     cleanup → post-morphology → fused Pallas carve.  Returns
-    (occ, colors, overflow).
+    (occ, colors, overflow).  ``interpret`` runs the Pallas kernels in
+    interpret mode (CPU CI gates of the production composition).
     """
     from vbr_tpu.ops import carve_pallas
 
@@ -953,7 +939,7 @@ def _full_step_pallas(
         stacked_fz, frames, mask_params, use_hsv
     )
     cleaned, ovf = background.ccl.clean_masks_batched.__wrapped__(
-        raw, fig_thresholds, inner_thresholds
+        raw, fig_thresholds, inner_thresholds, interpret=interpret
     )
     masks = background.finalize_masks_batched.__wrapped__(
         cleaned, mask_params
@@ -964,6 +950,7 @@ def _full_step_pallas(
         allv, ry, rx, tables_static=btab_static,
         views_threshold=views_threshold,
         layout="blocked" if layout == "packed" else layout,
+        interpret=interpret,
     )
     if layout == "packed":  # wire-compressed outputs for slow links
         packed, ids, count, col_c, bovf = carve_pallas.pack_blocked_outputs(
@@ -1056,13 +1043,14 @@ def _full_step_tables(
     static_argnames=(
         "btab_static", "mask_params", "use_hsv", "fig_thresholds",
         "inner_thresholds", "views_threshold", "grid_shape", "algorithm",
-        "ambiguity", "capacity",
+        "ambiguity", "capacity", "interpret",
     ),
 )
 def _full_step_surface(
     stacked_fz, frames, pk, lcc, vorig, uorig, allv, ry, rx, *,
     btab_static, mask_params, use_hsv, fig_thresholds, inner_thresholds,
     views_threshold, grid_shape, algorithm, ambiguity, capacity,
+    interpret=False,
 ):
     """Frame → triangle mesh as ONE device program: the fused per-frame
     pipeline (_full_step_pallas, canonical layout) + the device-resident
@@ -1072,6 +1060,7 @@ def _full_step_surface(
         btab_static=btab_static, mask_params=mask_params, use_hsv=use_hsv,
         fig_thresholds=fig_thresholds, inner_thresholds=inner_thresholds,
         views_threshold=views_threshold, layout="canonical",
+        interpret=interpret,
     )
     verts, valid, n_active = mc.surface_program(
         occ.reshape(grid_shape), algorithm=algorithm, ambiguity=ambiguity,
