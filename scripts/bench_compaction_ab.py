@@ -37,7 +37,7 @@ def emit(**kv):
 
 
 CAPACITY = 32768
-NB = 2048  # active-block capacity (z-column blocks of 128)
+NB = 4096  # active-block capacity (z-column blocks of 128)
 B = 128
 
 

@@ -68,6 +68,30 @@ def test_surface_program_capacity_overflow_is_signaled():
     assert int(n_active) > 8  # caller must redo via extract_mesh
 
 
+def test_surface_program_block_overflow_is_signaled():
+    """The r5 scatter-free compaction adds a second truncation mode:
+    active cells spread over more than ``block_capacity`` 128-cell
+    blocks.  The reported count must then exceed ``capacity`` so the
+    callers' existing redo check fires, even though the true active
+    count fits."""
+    # 3 isolated cubes far apart along x → ≥3 distinct 128-cell blocks
+    vol = np.zeros((40, 8, 8), bool)
+    for x0 in (2, 16, 30):
+        vol[x0 : x0 + 2, 2:4, 2:4] = True
+    n_true = int(np.asarray(mc.active_cells_mask(np.asarray(vol))).sum())
+    assert n_true <= 128
+    _, _, n_rep = mc.surface_program(vol, capacity=128, block_capacity=2)
+    assert int(n_rep) > 128  # forced above capacity → host redo
+    # with enough blocks the same volume reports the true count and
+    # matches the host path bit-identically
+    verts, valid, n_ok = mc.surface_program(vol, capacity=128,
+                                            block_capacity=64)
+    assert int(n_ok) == n_true
+    got = mc.world_triangles(verts, valid, (0, 0, 0), (1, 1, 1))
+    ref, n_ref = mc.extract_mesh(vol, algorithm="tetrahedra")
+    np.testing.assert_array_equal(got, ref)
+
+
 H, W = 64, 96
 C = 4
 

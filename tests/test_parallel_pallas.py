@@ -398,6 +398,30 @@ class TestVisualHullShardedRunner:
         with pytest.raises(ValueError, match="data-axis"):
             run(frames[:1])
 
+    def test_runner_stream_matches_per_batch(self):
+        """The sharded multi-frame streaming seam (VERDICT r4 #7): a
+        data×grid sharded stream of batches through the depth-2 async
+        pipeline is bit-identical to calling the runner per batch."""
+        model, frames = self._model()
+        # three distinct 2-frame batches
+        b1 = frames.copy()
+        b1[:, :, 18:48, 30:68] = 255
+        b2 = frames.copy()
+        b2[:, :, 8:50, 26:58] = 255
+        batches = [frames, b1, b2]
+        mesh = carve_sharded.make_carve_mesh(8, num_cameras=2,
+                                             frame_batch=2)
+        run = model.sharded_runner(mesh, interpret=True)
+        ref = [run(b) for b in batches]
+        out = list(run.stream(iter(batches), depth=2))
+        assert len(out) == 3
+        for (occ_s, col_s), (occ_r, col_r) in zip(out, ref):
+            np.testing.assert_array_equal(occ_s, occ_r)
+            np.testing.assert_array_equal(col_s, col_r)
+        # distinct batches produced distinct hulls (guards a degenerate
+        # fixture where the pipeline could echo one batch)
+        assert not np.array_equal(out[0][0], out[2][0])
+
     def test_runner_rebalance_preserves_results(self):
         """Re-costing/re-placing mid-stream never changes outputs (order
         is exactness-free); it only moves superblocks between shards."""

@@ -684,8 +684,76 @@ def table_emitter(algorithm: str, ambiguity: str = "separate",
     return emit
 
 
+_COMPACT_BLOCK = 128  # cells per compaction block (one TPU lane row)
+
+
+def _compact_active(active, capacity: int, block_capacity: int):
+    """Fixed-``capacity`` ascending compaction of a flat bool mask,
+    scatter-free (r5 perf: ``jnp.nonzero(size=K)`` lowers to
+    ``cumsum(bincount(cumsum(mask)))`` whose full-length bincount is a
+    serialized 2M-update scatter — measured 18.2 ms at 127³ cells on
+    TPU v5e; this two-level scheme measures 1.1 ms, bit-identical,
+    scripts/bench_compaction_ab*.py):
+
+      1. blocks of ``_COMPACT_BLOCK`` consecutive flat cells (≈ one
+         z-column at 128³) are reduced to per-block counts; the ≤
+         ``block_capacity`` active blocks are selected by a small
+         ascending sort (no scatter);
+      2. each selected block row is compacted by ``sort_key_val`` along
+         its 128 lanes (active cells keyed by their within-row rank);
+      3. the global rank→(row, slot) map is a ``searchsorted`` over the
+         ``block_capacity``-long cumulative counts (``method="sort"`` —
+         the binary-search scan costs ~2 ms at this query count).
+
+    Ascending block ids + ascending in-row order ⇒ globally ascending
+    cell indices, identical to ``np.flatnonzero`` (pad slots are 0).
+
+    Returns ``(idx (capacity,) i32, n_reported ())`` where
+    ``n_reported`` is the true active count, EXCEPT when more than
+    ``block_capacity`` blocks contain active cells: the result would be
+    truncated, so ``n_reported`` is forced above ``capacity`` to trip
+    the callers' existing redo-via-host check.
+    """
+    n = active.shape[0]
+    npad = (-n) % _COMPACT_BLOCK
+    nblk = (n + npad) // _COMPACT_BLOCK
+    nb = min(block_capacity, nblk)
+    a = jnp.pad(active, (0, npad)).reshape(nblk, _COMPACT_BLOCK)
+    counts = jnp.sum(a.astype(jnp.int32), axis=1)
+    n_active = jnp.sum(counts)
+    # stage 1: ascending active-block ids by sort (sentinel nblk = pad)
+    keys = jnp.where(counts > 0, jnp.arange(nblk, dtype=jnp.int32),
+                     jnp.int32(nblk))
+    bidx_raw = jax.lax.sort(keys)[:nb]
+    nb_used = jnp.sum((counts > 0).astype(jnp.int32))
+    slot_ok = bidx_raw < nblk
+    bidx = jnp.minimum(bidx_raw, nblk - 1)
+    bcounts = jnp.where(slot_ok, counts[bidx], 0)
+    a_g = jnp.where(slot_ok[:, None], a[bidx], False)
+    # stage 2: within-row compaction by rank sort (keys unique per row)
+    lane = jnp.arange(_COMPACT_BLOCK, dtype=jnp.int32)[None, :]
+    pos = jnp.cumsum(a_g.astype(jnp.int32), axis=1) - 1
+    key = jnp.where(a_g, pos, _COMPACT_BLOCK + lane)
+    val = bidx[:, None] * _COMPACT_BLOCK + lane
+    _, v_sorted = jax.lax.sort_key_val(key, val, dimension=1)
+    # stage 3: global rank → (row, slot)
+    offs = jnp.cumsum(bcounts)
+    s = jnp.arange(capacity, dtype=jnp.int32)
+    row = jnp.searchsorted(offs, s, side="right", method="sort")
+    row = jnp.minimum(row, nb - 1)
+    slot = s - (offs[row] - bcounts[row])
+    idx = v_sorted[row, jnp.minimum(slot, _COMPACT_BLOCK - 1)]
+    idx = jnp.where(s < n_active, idx, 0)
+    n_reported = jnp.where(
+        nb_used > nb, jnp.maximum(n_active, capacity + 1), n_active
+    )
+    return idx, n_reported
+
+
 @functools.partial(
-    jax.jit, static_argnames=("algorithm", "ambiguity", "capacity")
+    jax.jit,
+    static_argnames=("algorithm", "ambiguity", "capacity",
+                     "block_capacity"),
 )
 def surface_program(
     volume: jnp.ndarray,  # (nx, ny, nz) bool/int occupancy
@@ -693,16 +761,18 @@ def surface_program(
     algorithm: str = "tetrahedra",
     ambiguity: str = "separate",
     capacity: int = 32768,
+    block_capacity: int = 4096,
 ):
     """Fully device-resident surface extraction for a BINARY volume.
 
     The jittable composition of the binary fast path: dense config grid
     (:func:`cell_configs`, shifted adds only) → fixed-``capacity``
-    active-cell compaction (``jnp.nonzero`` with a static size — ascending
-    cell order, same as the host paths) → generated-table MXU emission
-    (:func:`table_emitter`).  Everything is XLA (no host round trip, no
-    Pallas dependency), so it fuses into larger device programs — e.g.
-    the single-program frame→mesh step
+    active-cell compaction (:func:`_compact_active` — two-level,
+    scatter-free, ascending cell order like the host paths; the naive
+    ``jnp.nonzero`` hides an 18 ms full-length scatter at 128³) →
+    generated-table MXU emission (:func:`table_emitter`).  Everything is
+    XLA (no host round trip, no Pallas dependency), so it fuses into
+    larger device programs — e.g. the single-program frame→mesh step
     ``VisualHull.process_frame_surface`` (the streaming analog of the
     reference's offline ``skimage.measure.marching_cubes`` call,
     voxel_reconstruction.py:142).
@@ -711,8 +781,12 @@ def surface_program(
       verts    (capacity·T, 3, 3) f32 VOXEL-coordinate triangles
       valid    (capacity·T,) bool  which rows are real triangles
       n_active ()            i32  active cells in the volume — if it
-                                  exceeds ``capacity`` the result is
-                                  TRUNCATED and the caller must redo via
+                                  exceeds ``capacity`` (or the active
+                                  cells span more than ``block_capacity``
+                                  128-cell blocks, in which case the
+                                  reported value is forced above
+                                  ``capacity``) the result is TRUNCATED
+                                  and the caller must redo via
                                   :func:`extract_mesh`.
 
     World placement is host-side (:func:`world_triangles`) so the result
@@ -725,13 +799,12 @@ def surface_program(
     vol = volume.astype(bool)
     cfg_flat = cell_configs(vol, level=0.5).reshape(-1).astype(jnp.int32)
     active = (cfg_flat != 0) & (cfg_flat != 255)
-    n_active = jnp.sum(active.astype(jnp.int32))
-    (idx,) = jnp.nonzero(active, size=capacity, fill_value=0)
+    idx, n_active = _compact_active(active, capacity, block_capacity)
     emit = table_emitter(algorithm, ambiguity, 0.5)
     verts, valid = emit(vol, idx.astype(jnp.int32), capacity=capacity,
                         cfg_flat=cfg_flat)
     T = valid.shape[0] // capacity
-    # fill_value=0 pad slots re-emit cell 0; mask them out by slot rank
+    # pad slots re-emit cell 0; mask them out by slot rank
     slot_ok = jnp.arange(capacity, dtype=jnp.int32) < n_active
     valid = valid & jnp.repeat(slot_ok, T)
     return verts, valid, n_active

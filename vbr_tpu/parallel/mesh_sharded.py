@@ -128,8 +128,16 @@ def sharded_mesh_extractor(mesh: Mesh, axis: str = "grid",
         flat = act.reshape(-1)
         count = jnp.sum(flat, dtype=jnp.int32)
         # static-shape compaction: ascending local flat order matches the
-        # single-device global order within this shard's x-range
-        (cell_idx,) = jnp.nonzero(flat, size=capacity, fill_value=0)
+        # single-device global order within this shard's x-range.
+        # mc._compact_active is the scatter-free two-level scheme (the
+        # naive jnp.nonzero hides an 18 ms serialized bincount scatter at
+        # 128³); block_capacity = min(nblk, capacity) makes block
+        # overflow imply count > capacity, so the existing retry-on-
+        # truncation contract is unchanged and ``count`` stays exact.
+        nblk = -(-flat.shape[0] // mc._COMPACT_BLOCK)
+        cell_idx, _ = mc._compact_active(
+            flat, capacity, min(nblk, capacity)
+        )
         verts, valid = emit_fn(ext, cell_idx, capacity=capacity)
         slot = jax.lax.iota(jnp.int32, capacity * tpc) // tpc
         valid = valid & (slot < count)
