@@ -35,6 +35,7 @@ def main():
     data_dir = os.environ.get("VBR_DATA_DIR", "/root/reference/data")
     n_frames = int(os.environ.get("VBR_BENCH_FRAMES", "100"))
     layout = os.environ.get("VBR_BENCH_LAYOUT", "blocked")
+    ingest = os.environ.get("VBR_BENCH_INGEST", "bgr")  # bgr | yuv420
 
     vh = VisualHull.from_data_dir(data_dir, train_background=False)
     cache = os.path.join("artifacts", "bg_cache")
@@ -56,14 +57,22 @@ def main():
             yield f
             n += 1
 
+    if ingest == "yuv420":
+        # evidence gate for the lossy wire format: measured cleaned-mask
+        # IoU + hull difference on this rig's first frame-set
+        probe = src.next_frames()
+        guard = vh.validate_reduced_ingest(probe)
+        print(json.dumps({"metric": "reduced_ingest_guard", **guard}))
+        sys.stdout.flush()
+
     # warm-up (compile)
-    for pos, rgb in vh.stream_viewer(frames_iter(3)):
+    for pos, rgb in vh.stream_viewer(frames_iter(3), ingest=ingest):
         pass
 
     t0 = time.perf_counter()
     n = 0
     occupied_last = 0
-    for pos, rgb in vh.stream_viewer(frames_iter(n_frames)):
+    for pos, rgb in vh.stream_viewer(frames_iter(n_frames), ingest=ingest):
         # results arrive as host viewer arrays (positions + colors)
         occupied_last = pos.shape[0]
         n += 1
@@ -79,6 +88,7 @@ def main():
             "ms_per_frame": round(dt / max(n, 1) * 1e3, 2),
             "occupied_last_frame": occupied_last,
             "layout": "packed-wire (bit-packed occ + block-compacted colors)",
+            "ingest": ingest,
             "device": str(jax.devices()[0]),
             "includes": "decode + masks + CCL + carve + result sync",
         },

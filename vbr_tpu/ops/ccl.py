@@ -341,7 +341,7 @@ def _subselect_roots(roots, flags, k):
     return jnp.where(jnp.arange(k) < count, out, -1), count
 
 
-def _row_run_tables(fg2d, lab2d, k_runs, extra2d=None):
+def _row_run_tables(fg2d, lab2d, k_runs, extra2d=None, counts_only=False):
     """Per-row run tables: the image axis of every component statistic.
 
     A maximal horizontal run of same-phase pixels is 4-connected, so all
@@ -389,6 +389,12 @@ def _row_run_tables(fg2d, lab2d, k_runs, extra2d=None):
     cnt_pack = jnp.sum(jnp.where(inrun, ones[:, :, None], 0), axis=1)
     length = cnt_pack & ((1 << sh) - 1)
     extra_cnt = cnt_pack >> sh
+    overflow = jnp.any(rank[:, -1] > k_runs)
+
+    if counts_only:
+        # second-pass callers (the kept-adjacent counts) reuse the first
+        # build's labels/roots — skip the whole lab_pack reduction
+        return length, None, None, None, extra_cnt, overflow
 
     lin = (jnp.arange(Hp, dtype=jnp.int32)[:, None] * Wp
            + jnp.arange(Wp, dtype=jnp.int32)[None, :])
@@ -400,7 +406,6 @@ def _row_run_tables(fg2d, lab2d, k_runs, extra2d=None):
     label = jnp.where(valid, lab_pack >> 2, -1)
     isroot = valid & ((lab_pack & 2) > 0)
     isfg = valid & ((lab_pack & 1) > 0)
-    overflow = jnp.any(rank[:, -1] > k_runs)
     return length, label, isroot, isfg, extra_cnt, overflow
 
 
@@ -578,7 +583,8 @@ def _clean_stats_one(
     # per-run kept-adjacent pixel counts (hole "touches a kept
     # figure" at run granularity); lengths/labels re-emerge fused
     kadjt = _row_run_tables(
-        fgc, lab2d, k_runs, extra2d=kept_adj.reshape(Hp, Wp)
+        fgc, lab2d, k_runs, extra2d=kept_adj.reshape(Hp, Wp),
+        counts_only=True,
     )[4].reshape(-1)
 
     roots_b, nb = _onehot_compact(labt, roott & ~isfgt, kb)
@@ -589,9 +595,17 @@ def _clean_stats_one(
     hole_flags = (roots_b >= 0) & ~outside_b
     hroots, nhole = _onehot_compact(roots_b, hole_flags, k_hole)
     eq_hr = labt[:, None] == hroots[None, :]  # (Hp·R, k_hole)
-    areas_b = jnp.sum(jnp.where(eq_hr, lent[:, None], 0), axis=0)
     touch_b = jnp.any(eq_hr & (kadjt[:, None] > 0), axis=0)
-    in_kept_hole = (hroots >= 0) & touch_b
+    # Subselect the holes that actually touch a kept figure (few on real
+    # masks — fill candidates are a subset of these) BEFORE the
+    # per-pixel-scale reductions: the hole polygon-area corner pass and
+    # the fill paint then compare against k_touch roots instead of
+    # k_hole (half the widest compares of the stats tail).
+    k_touch = min(32, k_hole)
+    troots, ntouch = _onehot_compact(
+        hroots, (hroots >= 0) & touch_b, k_touch)
+    eq_tr = labt[:, None] == troots[None, :]  # (Hp·R, k_touch)
+    areas_b = jnp.sum(jnp.where(eq_tr, lent[:, None], 0), axis=0)
     # cv2.contourArea of a hole via 2×2 corner counting (see
     # clean_mask): A = pix + (c1 + 2·c2 + c3 + 2·cdiag)/4; block
     # contributions attributed to the min bg label in the block
@@ -613,7 +627,7 @@ def _clean_stats_one(
     )
     blmin = jnp.minimum(jnp.minimum(la, lb2), jnp.minimum(lc2, ld))
     corner4_b = jnp.sum(
-        jnp.where(blmin.reshape(-1)[:, None] == hroots[None, :],
+        jnp.where(blmin.reshape(-1)[:, None] == troots[None, :],
                   contrib4.reshape(-1)[:, None], 0),
         axis=0,
     )
@@ -621,13 +635,14 @@ def _clean_stats_one(
         areas_b.astype(jnp.float32)
         + corner4_b.astype(jnp.float32) * 0.25
     )
-    fill_b = in_kept_hole & (poly_area < inner_threshold)
-    # paint small filled holes white: one (H·W × k_hole) compare
+    fill_b = (troots >= 0) & (poly_area < inner_threshold)
+    # paint small filled holes white: one (H·W × k_touch) compare
     # against the filled subset (-1 entries never match a label)
-    fill_roots = jnp.where(fill_b, hroots, -1)
+    fill_roots = jnp.where(fill_b, troots, -1)
     hole_white_px = jnp.any(Lb[:, None] == fill_roots[None, :], axis=1)
 
     out = (kept_px | hole_white_px).reshape(Hp, Wp)
     overflow = (ovf_r | (nf > kf) | (nb > kb)
-                | (nkeep > k_keep) | (nhole > k_hole))
+                | (nkeep > k_keep) | (nhole > k_hole)
+                | (ntouch > k_touch))
     return out, overflow

@@ -87,3 +87,66 @@ def threshold_binary(img: jnp.ndarray, thresh: float, maxval: int = 255):
 def threshold_binary_inv(img: jnp.ndarray, thresh: float, maxval: int = 255):
     """THRESH_BINARY_INV: out = maxval·(img <= t)."""
     return jnp.where(img > thresh, jnp.uint8(0), jnp.uint8(maxval))
+
+
+# ---------------------------------------------------------------------------
+# Reduced-byte ingest: YUV 4:2:0 wire format (r5, VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+#
+# The end-to-end streaming loop is host↔device LINK bound on a tunneled
+# TPU (3.75 MB of BGR frames per 4-camera step).  An opt-in wire format
+# halves the upload: full-range BT.601 YUV with 2×2-subsampled chroma,
+# packed as one (H·3/2, W) u8 plane per camera (Y on top; the chroma
+# half-rows carry U left, V right).  EXPLICITLY NOT bit-exact — chroma
+# subsampling loses information — so production use is gated by the
+# measured cleaned-mask IoU / hull-difference guard
+# (VisualHull.validate_reduced_ingest), not by assumption.
+
+
+def bgr_to_yuv420_host(frames):
+    """Host-side pack: (..., H, W, 3) u8 BGR → (..., H·3/2, W) u8.
+
+    Integer BT.601 full-range (JPEG) arithmetic; chroma = mean of each
+    2×2 block (rounded).  numpy only — runs in the ingest thread.
+    """
+    import numpy as np
+
+    b = frames[..., 0].astype(np.int32)
+    g = frames[..., 1].astype(np.int32)
+    r = frames[..., 2].astype(np.int32)
+    H, W = frames.shape[-3:-1]
+    y = (77 * r + 150 * g + 29 * b + 128) >> 8
+    u = ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128
+    v = ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128
+
+    def sub(c):  # 2×2 mean, rounded
+        c = c.reshape(c.shape[:-2] + (H // 2, 2, W // 2, 2))
+        return (c.sum(axis=(-3, -1)) + 2) >> 2
+
+    us, vs = sub(u), sub(v)  # (..., H/2, W/2)
+    chroma = np.concatenate([us, vs], axis=-1)  # (..., H/2, W)
+    packed = np.concatenate([y, chroma], axis=-2)
+    return np.clip(packed, 0, 255).astype(np.uint8)
+
+
+@jax.jit
+def yuv420_to_bgr_u8(packed: jnp.ndarray) -> jnp.ndarray:
+    """Device-side unpack: (..., H·3/2, W) u8 → (..., H, W, 3) u8 BGR.
+
+    Nearest-neighbour chroma upsample + BT.601 full-range inverse,
+    rounded and clipped.  The exact inverse of the luma path; chroma
+    carries the subsampling loss (guarded at the mask level).
+    """
+    Hp, W = packed.shape[-2:]
+    H = Hp * 2 // 3
+    y = packed[..., :H, :].astype(jnp.float32)
+    chroma = packed[..., H:, :].astype(jnp.float32)
+    u = chroma[..., :, : W // 2] - 128.0
+    v = chroma[..., :, W // 2 :] - 128.0
+    u = jnp.repeat(jnp.repeat(u, 2, axis=-2), 2, axis=-1)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    bgr = jnp.stack([b, g, r], axis=-1)
+    return jnp.clip(jnp.round(bgr), 0, 255).astype(jnp.uint8)

@@ -293,6 +293,175 @@ _MC_MAXTS = {
     "separate": _MC_TABLE_NP.shape[1],
     "join": _MC_TABLE_JOIN_NP.shape[1],
 }
+# Registered external tilings (r5): same (256, T, 3) edge-id format as
+# the generated tables, added via register_tiling / load_tiling — e.g. a
+# Lewiner/skimage-exact "mc33" tiling derived by
+# scripts/derive_mc33_tiling.py on a machine where scikit-image exists
+# (it is not installable here, so exact triangle-level parity cannot be
+# verified in this environment; vertex-set + topology parity are proved
+# in docs/PARITY.md, and the derivation/recovery machinery is itself
+# CI-gated against a mock oracle in tests/test_mc_tiling.py).
+_MC33_NPZ = None  # optional on-disk auto-load path, set by load_tiling
+
+
+def known_ambiguities():
+    """Built-in ambiguity rules + registered tiling names."""
+    return ("separate", "join") + tuple(
+        k for k in _MC_TABLES_J if k not in ("separate", "join"))
+
+
+def _check_ambiguity(ambiguity: str):
+    if ambiguity not in _MC_TABLES_J:
+        raise ValueError(
+            f"unknown ambiguity rule {ambiguity!r}; known: "
+            f"{known_ambiguities()} (external tilings must be "
+            "registered first — see register_tiling / "
+            "scripts/derive_mc33_tiling.py)"
+        )
+
+
+def register_tiling(name: str, table: np.ndarray):
+    """Register an external (256, T, 3) edge-id triangle table under
+    ``name`` so every consumer (``extract_mesh``, ``surface_program``,
+    ``table_emitter``, the sharded extractor) accepts
+    ``ambiguity=name``.
+
+    Validation (falsifiable, per config): every triangle uses only CUT
+    edges of its config, every cut edge is used by at least one
+    triangle, and the config's cut-edge set equals the built-in
+    ``join`` table's (on a binary volume Lewiner's MC33 face/interior
+    tests always resolve to *join* — docs/PARITY.md — so any candidate
+    MC33 tiling must agree on which edges carry vertices).
+    """
+    table = np.asarray(table, np.int32)
+    if table.ndim != 3 or table.shape[0] != 256 or table.shape[2] != 3:
+        raise ValueError(f"tiling table must be (256, T, 3); "
+                         f"got {table.shape}")
+    if name in ("separate", "join", "tetrahedra"):
+        raise ValueError(f"cannot override built-in rule {name!r}")
+    corners_in = [
+        [(cfg >> k) & 1 for k in range(8)] for cfg in range(256)
+    ]
+    for cfg in range(256):
+        cut = {
+            e for e, (a, b) in enumerate(_MC_EDGE_CORNERS_NP)
+            if corners_in[cfg][a] != corners_in[cfg][b]
+        }
+        tris = table[cfg][table[cfg, :, 0] >= 0]
+        used = set(int(e) for e in tris.ravel())
+        if not used <= cut:
+            raise ValueError(
+                f"config {cfg}: triangle uses non-cut edge(s) "
+                f"{sorted(used - cut)}")
+        if cut and used != cut:
+            raise ValueError(
+                f"config {cfg}: cut edges {sorted(cut - used)} carry no "
+                "triangle (vertex set would differ from MC33-on-binary)")
+        ref = _MC_TABLE_JOIN_NP[cfg]
+        ref_used = set(
+            int(e) for e in ref[ref[:, 0] >= 0].ravel())
+        if used != ref_used:
+            raise ValueError(
+                f"config {cfg}: edge set differs from the join table "
+                "(MC33 on a binary volume joins diagonal inside "
+                "corners; see docs/PARITY.md)")
+    _MC_TABLES_J[name] = jnp.asarray(table)
+    _MC_MAXTS[name] = table.shape[1]
+
+
+def load_tiling(name: str, path: str):
+    """Register the tiling table stored in ``path`` (.npz with a
+    ``table`` array, as written by scripts/derive_mc33_tiling.py)."""
+    with np.load(path) as z:
+        register_tiling(name, z["table"])
+
+
+def _ensure_tiling(ambiguity: str):
+    """Validate ``ambiguity``, lazily loading the on-disk "mc33" table
+    (vbr_tpu/data/mc33_tiling.npz, produced by
+    scripts/derive_mc33_tiling.py on a skimage-equipped machine) on
+    first use."""
+    if ambiguity in _MC_TABLES_J:
+        return
+    if ambiguity == "mc33":
+        import os
+
+        path = _MC33_NPZ or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "data",
+            "mc33_tiling.npz")
+        if os.path.exists(path):
+            load_tiling("mc33", path)
+            return
+        raise ValueError(
+            "ambiguity='mc33' needs the derived Lewiner tiling table, "
+            "which does not ship in this environment (scikit-image is "
+            "not installable here, so the skimage-exact tiling cannot "
+            "be derived or verified — vertex-set and topology parity "
+            "are proved instead, docs/PARITY.md).  On a machine with "
+            "scikit-image run scripts/derive_mc33_tiling.py and point "
+            "marching_cubes.load_tiling('mc33', <npz>) at the result; "
+            "ambiguity='join' gives the same vertices and topology "
+            "with this library's own tiling."
+        )
+    _check_ambiguity(ambiguity)
+
+
+def derive_tiling_from_oracle(oracle, level: float = 0.25):
+    """Derive a (256, T, 3) edge-id tiling table by RUNNING an external
+    marching-cubes implementation on 256 isolated single-cell volumes.
+
+    ``oracle(volume (2,2,2) f32, level) -> (verts (N, 3), faces (M, 3))``
+    — e.g. ``lambda v, l: skimage.measure.marching_cubes(v, l)[:2]``.
+    ``level`` must be strictly inside (0, 1) and ≠ 0.5 is allowed; a
+    non-degenerate level is required so every vertex maps to a UNIQUE
+    edge crossing (at level 0 vertices collapse onto corners).  The
+    recovered table is level-independent: the tiling (which edges form
+    which triangles) is a pure function of the 8-bit config.
+
+    Raises if any oracle vertex does not lie (within 1e-6) on a cut
+    edge's crossing point — the recovery is exact or it fails loudly.
+    """
+    if not 0.0 < level < 1.0:
+        raise ValueError("level must be inside (0, 1)")
+    corners = _CORNERS.astype(np.float64)
+    tri_lists = []
+    for cfg in range(256):
+        vol = np.zeros((2, 2, 2), np.float32)
+        inside = [(cfg >> k) & 1 for k in range(8)]
+        for k, (dx, dy, dz) in enumerate(_CORNERS):
+            vol[dx, dy, dz] = float(inside[k])
+        if cfg in (0, 255):
+            tri_lists.append(np.zeros((0, 3), np.int32))
+            continue
+        verts, faces = oracle(vol, level)
+        verts = np.asarray(verts, np.float64)
+        faces = np.asarray(faces, np.int64)
+        # expected crossing point of each cut edge at ``level``
+        exp = {}
+        for e, (a, b) in enumerate(_MC_EDGE_CORNERS_NP):
+            va, vb = float(inside[a]), float(inside[b])
+            if va == vb:
+                continue
+            t = (va - level) / (va - vb)
+            exp[e] = corners[a] + t * (corners[b] - corners[a])
+        vert_edge = np.full(len(verts), -1, np.int64)
+        for i, v in enumerate(verts):
+            for e, p in exp.items():
+                if np.linalg.norm(v - p) < 1e-6:
+                    vert_edge[i] = e
+                    break
+            if vert_edge[i] < 0:
+                raise ValueError(
+                    f"config {cfg}: oracle vertex {v} is not on any cut "
+                    "edge's level-crossing — not a per-cell marching "
+                    "cubes at this level")
+        tri_lists.append(vert_edge[faces].astype(np.int32))
+    maxt = max(len(t) for t in tri_lists)
+    table = -np.ones((256, maxt, 3), np.int32)
+    for cfg, tris in enumerate(tri_lists):
+        if len(tris):
+            table[cfg, : len(tris)] = tris
+    return table
 # edge id -> (corner a, corner b), same ordering as _build_mc_tables
 _MC_EDGE_CORNERS_NP = np.array(
     sorted(
@@ -553,8 +722,7 @@ def extract_mesh(
     """
     if algorithm not in ("tetrahedra", "cubes"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    if ambiguity not in ("separate", "join"):
-        raise ValueError(f"unknown ambiguity rule {ambiguity!r}")
+    _ensure_tiling(ambiguity)
     if emit not in ("auto", "device", "host_table", "device_table"):
         raise ValueError(f"unknown emit strategy {emit!r}")
     if algorithm == "tetrahedra" and level != 0.5:
@@ -627,6 +795,7 @@ def extract_mesh(
 def table_emitter(algorithm: str, ambiguity: str = "separate",
                   level: float = 0.5):
     """Device emit function for BINARY volumes from the generated table.
+    Accepts any built-in ambiguity rule or registered tiling name.
 
     Same ``(volume, cell_idx, capacity) → (verts, valid)`` contract as
     ``_emit_triangles`` / ``_emit_triangles_mc``, but instead of ~60
@@ -639,6 +808,8 @@ def table_emitter(algorithm: str, ambiguity: str = "separate",
     and the final base add is the same single f32 add the per-cell path
     performs — bit-identical output, gated in tests.
     """
+    if algorithm != "tetrahedra":
+        _ensure_tiling(ambiguity)
     key = (algorithm, ambiguity, float(level))
     if key in _TABLE_EMITTERS:
         return _TABLE_EMITTERS[key]

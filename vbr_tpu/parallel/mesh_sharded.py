@@ -186,8 +186,7 @@ def extract_mesh_sharded(
     # accept and reject identical calls regardless of shard divisibility
     if algorithm not in ("tetrahedra", "cubes"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    if ambiguity not in ("separate", "join"):
-        raise ValueError(f"unknown ambiguity rule {ambiguity!r}")
+    mc._ensure_tiling(ambiguity)
     if algorithm == "tetrahedra" and ambiguity != "separate":
         raise ValueError(
             "ambiguity is only supported with algorithm='cubes' (the "

@@ -212,6 +212,51 @@ class CarveABReport:
     hull_iou_ab: float
 
 
+def hull_coverage(
+    masks: np.ndarray,  # (C, H, W) u8 silhouettes
+    cset: Sequence[CameraParams],  # full candidate calibration (K+pose)
+    grid: Optional[GridConfig] = None,
+):
+    """Carve the hull under a candidate calibration; per-camera coverage
+    ``|proj(hull) ∩ sil| / |sil|`` of each input silhouette.
+
+    This is the principal-point-SENSITIVE geometric metric (r5, VERDICT
+    r4 #4): a cx error in one camera drags its silhouette cone sideways.
+    Board-solved poses can compensate the shift exactly only at the
+    board's depth plane — the carved subject stands at a different
+    depth, so the cone misses the other cameras' cones there and
+    coverage drops at FIRST order in dcx (unlike per-view reprojection
+    RMS with re-solved poses, which is provably blind to it — see
+    artifacts/intrinsics_run/report.md sensitivity sweep).
+
+    Returns ``(occ (N,) bool, coverages per camera)``.
+    """
+    import jax.numpy as jnp
+
+    from vbr_tpu.ops import carve
+
+    grid = grid or GridConfig(nx=64, ny=64, nz=64)
+    H, W = masks.shape[1:3]
+    m_dev = jnp.asarray(masks)
+    imgs = jnp.zeros((len(cset), H, W, 3), jnp.uint8)
+    tabs = carve.build_projection_tables(cset, grid, (H, W))
+    occ, _ = carve.carve_from_tables(
+        m_dev, imgs, tabs.valid, tabs.lin_idx,
+        views_threshold=len(cset),
+    )
+    occ = np.asarray(occ)
+    lin = np.asarray(tabs.lin_idx)
+    val = np.asarray(tabs.valid)
+    covs = []
+    for ci in range(len(cset)):
+        pix = np.zeros(H * W, bool)
+        sel = occ & val[ci]
+        pix[lin[ci][sel]] = True
+        sil = masks[ci].reshape(-1) > 0
+        covs.append(float((pix & sil).sum() / max(sil.sum(), 1)))
+    return occ, covs
+
+
 def carve_silhouette_ab(
     masks: np.ndarray,  # (C, H, W) u8 silhouettes (shipped goldens)
     cams: Sequence[CameraParams],
@@ -222,17 +267,9 @@ def carve_silhouette_ab(
     """Carve the hull under each pose set; measure how much of every
     input silhouette the back-projected hull explains.  Misaligned poses
     shrink the cone intersection, so coverage drops."""
-    import jax.numpy as jnp
 
-    from vbr_tpu.ops import carve
-
-    grid = grid or GridConfig(nx=64, ny=64, nz=64)
-    H, W = masks.shape[1:3]
-    m_dev = jnp.asarray(masks)
-    imgs = jnp.zeros((len(cams), H, W, 3), jnp.uint8)
-
-    def hull_and_cov(poses):
-        cset = [
+    def cset_for(poses):
+        return [
             dataclasses.replace(
                 cams[ci],
                 rvec_xyz=tuple(np.asarray(poses[ci][0], float).ravel()),
@@ -240,25 +277,9 @@ def carve_silhouette_ab(
             )
             for ci in range(len(cams))
         ]
-        tabs = carve.build_projection_tables(cset, grid, (H, W))
-        occ, _ = carve.carve_from_tables(
-            m_dev, imgs, tabs.valid, tabs.lin_idx,
-            views_threshold=len(cams),
-        )
-        occ = np.asarray(occ)
-        lin = np.asarray(tabs.lin_idx)
-        val = np.asarray(tabs.valid)
-        covs = []
-        for ci in range(len(cams)):
-            pix = np.zeros(H * W, bool)
-            sel = occ & val[ci]
-            pix[lin[ci][sel]] = True
-            sil = masks[ci].reshape(-1) > 0
-            covs.append(float((pix & sil).sum() / max(sil.sum(), 1)))
-        return occ, covs
 
-    occ_a, cov_a = hull_and_cov(poses_a)
-    occ_b, cov_b = hull_and_cov(poses_b)
+    occ_a, cov_a = hull_coverage(masks, cset_for(poses_a), grid)
+    occ_b, cov_b = hull_coverage(masks, cset_for(poses_b), grid)
     inter = (occ_a & occ_b).sum()
     union = (occ_a | occ_b).sum()
     return CarveABReport(
