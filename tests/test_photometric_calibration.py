@@ -197,3 +197,27 @@ def test_photometric_calibrate_recovers_intrinsics(frames):
         np.asarray(init.dist).reshape(-1)[:5], rmax=0.4)
     assert err_photo < 0.8
     assert err_photo < 0.25 * err_init
+
+
+def test_photometric_calibrate_fix_pp_pins_principal_point(frames):
+    """fix_pp pins cx/cy exactly (r5: the principal point is the fit's
+    weakest-determined direction — scripts/eval_pp_adjudicate.py — so
+    production runs can pin it to an independently estimated optimum)."""
+    views = [PC.board_view_from_frame(f, i, PATTERN, deoverlay=False)
+             for i, f in enumerate(frames)]
+    views = [v for v in views if v is not None]
+    from vbr_tpu.pipelines import calibration as CAL
+    init = CAL.calibrate_camera([v.corners for v in views],
+                                (IMG_W, IMG_H), PATTERN, SQUARE)
+    pin = (K_TRUE[0, 2] + 3.0, K_TRUE[1, 2] - 2.0)
+    res = PC.photometric_calibrate(
+        views, (IMG_W, IMG_H), pattern=PATTERN, square_mm=SQUARE,
+        iters=0, chunk=100, samples_per_square=8,
+        fix_pp=pin,
+        init=(init.K, np.asarray(init.dist).reshape(-1)[:5].copy(),
+              list(zip(init.rvecs, init.tvecs))),
+        stages=[(100, "nuisance"), (200, "all")])
+    assert res.K[0, 2] == pytest.approx(pin[0], abs=1e-6)
+    assert res.K[1, 2] == pytest.approx(pin[1], abs=1e-6)
+    # focal lengths still moved toward truth (the fit itself ran)
+    assert abs(res.K[0, 0] - K_TRUE[0, 0]) / K_TRUE[0, 0] < 0.05

@@ -457,6 +457,7 @@ def photometric_calibrate(
     chunk: int = 100,
     huber_delta: float = 18.0,
     fix_tangential: bool = False,
+    fix_pp: Optional[Tuple[float, float]] = None,
     init: Optional[Tuple[np.ndarray, np.ndarray, list]] = None,
     stages: Optional[Sequence[Tuple[int, str]]] = None,
     pixel_sigma: bool = True,
@@ -469,6 +470,15 @@ def photometric_calibrate(
     chunks on ``device`` (see :func:`select_refine_device`; default: the
     chip when reachable, CPU otherwise); all frames are evaluated in one
     program per step.
+
+    ``fix_pp=(cx, cy)`` pins the principal point: the fit starts there
+    and its learning rates are zeroed in every stage.  Rationale (r5
+    adjudication, scripts/eval_pp_adjudicate.py): with per-view poses
+    free, the photometric objective is nearly blind to cx/cy (the pose
+    compensates a shift at the board plane), so the principal point is
+    the fit's weakest-determined direction — pinning it to an
+    independently estimated optimum removes that degeneracy without
+    touching the well-determined parameters.
     """
     import jax
     import jax.numpy as jnp
@@ -476,15 +486,15 @@ def photometric_calibrate(
     with jax.default_device(select_refine_device(device)):
         return _photometric_calibrate_on_device(
             views, image_shape, pattern, square_mm, samples_per_square,
-            iters, chunk, huber_delta, fix_tangential, init, stages,
-            pixel_sigma, oob_penalty,
+            iters, chunk, huber_delta, fix_tangential, fix_pp, init,
+            stages, pixel_sigma, oob_penalty,
         )
 
 
 def _photometric_calibrate_on_device(
     views, image_shape, pattern, square_mm, samples_per_square, iters,
-    chunk, huber_delta, fix_tangential, init, stages, pixel_sigma,
-    oob_penalty,
+    chunk, huber_delta, fix_tangential, fix_pp, init, stages,
+    pixel_sigma, oob_penalty,
 ) -> PhotoCalibResult:
     import jax
     import jax.numpy as jnp
@@ -538,6 +548,9 @@ def _photometric_calibrate_on_device(
     ).astype(np.float32)
     if fix_tangential:
         lr[6:8] = 0.0
+    if fix_pp is not None:
+        p0[2], p0[3] = float(fix_pp[0]), float(fix_pp[1])
+        lr[2:4] = 0.0
 
     obj_j = jnp.asarray(obj, jnp.float32)
     grid_uv_j = jnp.asarray(grid_uv, jnp.float32)
