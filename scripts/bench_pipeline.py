@@ -35,7 +35,8 @@ def main():
     data_dir = os.environ.get("VBR_DATA_DIR", "/root/reference/data")
     n_frames = int(os.environ.get("VBR_BENCH_FRAMES", "100"))
     layout = os.environ.get("VBR_BENCH_LAYOUT", "blocked")
-    ingest = os.environ.get("VBR_BENCH_INGEST", "bgr")  # bgr | yuv420
+    # bgr | yuv420 | yuv420_roi
+    ingest = os.environ.get("VBR_BENCH_INGEST", "bgr")
 
     vh = VisualHull.from_data_dir(data_dir, train_background=False)
     cache = os.path.join("artifacts", "bg_cache")
@@ -57,11 +58,11 @@ def main():
             yield f
             n += 1
 
-    if ingest == "yuv420":
+    if ingest != "bgr":
         # evidence gate for the lossy wire format: measured cleaned-mask
         # IoU + hull difference on this rig's first frame-set
         probe = src.next_frames()
-        guard = vh.validate_reduced_ingest(probe)
+        guard = vh.validate_reduced_ingest(probe, ingest=ingest)
         print(json.dumps({"metric": "reduced_ingest_guard", **guard}))
         sys.stdout.flush()
 

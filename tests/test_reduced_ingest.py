@@ -148,3 +148,139 @@ def test_validate_reduced_ingest_guard(model_and_frame):
     assert report["mask_iou_min"] >= 0.98
     assert report["occ_exact"] > 0
     assert report["occ_diff_voxels"] <= 0.02 * report["occ_exact"]
+
+
+# ---------------------------------------------------------------------------
+# ROI ingest (r5: fixed-window upload on top of YUV 4:2:0)
+# ---------------------------------------------------------------------------
+
+
+def test_roi_tracker_follows_and_guards():
+    from vbr_tpu.utils.roi import MotionROITracker
+
+    Ht, Wt = 128, 192
+    bg = np.full((2, Ht, Wt), 60.0, np.float32)
+    tr = MotionROITracker(bg, (64, 64), thresh=30, margin=8, stride=4)
+
+    def frame_with_square(y, x):
+        f = np.full((2, Ht, Wt, 3), 60, np.uint8)
+        f[:, y:y + 24, x:x + 24] = 200
+        return f
+
+    offs, full = tr.update(frame_with_square(40, 60))
+    assert full  # first frame always full
+    offs, full = tr.update(frame_with_square(42, 64))
+    assert not full
+    for c in range(2):
+        y0, x0 = offs[c]
+        assert y0 <= 42 and y0 + 64 >= 42 + 24
+        assert x0 <= 64 and x0 + 64 >= 64 + 24
+        assert y0 % 2 == 0 and x0 % 2 == 0
+    # a stationary subject keeps its window (bg-diff, not frame-diff)
+    offs2, full = tr.update(frame_with_square(42, 64))
+    assert not full and (offs2 == offs).all()
+    # subject bigger than the window → guarded full fallback
+    f = np.full((2, Ht, Wt, 3), 60, np.uint8)
+    f[:, 10:120, 20:180] = 200
+    _, full = tr.update(f)
+    assert full
+
+
+def test_raw_masks_roi_bit_identical_when_contained(model_and_frame):
+    """The ROI mask stage == the full-frame stage, bitwise, whenever the
+    window contains all foreground and the exact path has no raw
+    positives outside it (frames equal the model mean there)."""
+    import jax.numpy as jnp
+
+    model, _ = model_and_frame
+    model._ensure_fast_state()
+    # frames exactly at the background mean -> raw mask 0 everywhere...
+    mean0 = np.asarray(model._stacked_fz.mean)[:, :, :, 0]
+    # build BGR frames whose HSV equals the lead mean is hard; instead
+    # use the fixture background frames (raw noise possible) and CHECK
+    # the premise instead of assuming it
+    rng = np.random.default_rng(7)
+    bg = rng.integers(0, 200, size=(C, 6, H, W, 3), dtype=np.uint8)
+    frame = bg[:, 0].copy()
+    frame[:, 20:44, 30:62] = 255  # fg strictly inside the window below
+    raw_full = np.asarray(background.raw_masks_batched_fz(
+        model._stacked_fz, jnp.asarray(frame), model._mask_params_t,
+        model.mog_params[0].use_hsv,
+    ))
+    y0, x0, rh, rw = 8, 16, 48, 64
+    outside = np.ones((C, H, W), bool)
+    outside[:, y0:y0 + rh, x0:x0 + rw] = False
+    if (raw_full[outside] > 0).any():
+        pytest.skip("fixture premise violated: raw positives outside ROI")
+    offsets = jnp.asarray(np.tile([y0, x0], (C, 1)).astype(np.int32))
+    rois = jnp.asarray(frame[:, y0:y0 + rh, x0:x0 + rw])
+    raw_roi = np.asarray(background.raw_masks_batched_fz_roi(
+        model._stacked_fz, rois, offsets, model._mask_params_t,
+        model.mog_params[0].use_hsv, image_hw=(H, W),
+    ))
+    np.testing.assert_array_equal(raw_roi, raw_full)
+
+
+def test_fused_step_roi_matches_mask_pipeline(model_and_frame):
+    """ingest='yuv420_roi' through the fused interpret-mode program ==
+    the same masks computed via the ROI mask stage + tables carve."""
+    import jax.numpy as jnp
+
+    from vbr_tpu.models import visual_hull as vhm
+    from vbr_tpu.ops import carve as carve_ops
+
+    model, frame = model_and_frame
+    model._ensure_fast_state()
+    model._ensure_btab()
+    y0, x0, rh, rw = 8, 16, 48, 64
+    offsets = np.tile([y0, x0], (C, 1)).astype(np.int32)
+    crops = frame[:, y0:y0 + rh, x0:x0 + rw]
+    packed = color_ops.bgr_to_yuv420_host(crops)
+    occ_y, col_y, ovf = vhm._full_step_pallas(
+        model._stacked_fz, jnp.asarray(packed),
+        model._btab.pk, model._btab.lcc, model._btab.vorig,
+        model._btab.uorig, model._btab.allv, model._btab.ry,
+        model._btab.rx, btab_static=vhm._btab_static(model._btab),
+        mask_params=model._mask_params_t,
+        use_hsv=model.mog_params[0].use_hsv,
+        fig_thresholds=model._fig_thresholds,
+        inner_thresholds=model._inner_thresholds,
+        views_threshold=model.rig.views_threshold,
+        layout="canonical", interpret=True,
+        ingest="yuv420_roi", roi_offsets=jnp.asarray(offsets),
+    )
+    assert not bool(np.asarray(ovf).any())
+    # reference: same recon ROI through the mask stage + tables carve
+    recon = color_ops.yuv420_to_bgr_u8(jnp.asarray(packed))
+    raw = background.raw_masks_batched_fz_roi(
+        model._stacked_fz, recon, jnp.asarray(offsets),
+        model._mask_params_t, model.mog_params[0].use_hsv,
+        image_hw=(H, W),
+    )
+    cleaned, _ = background.ccl.clean_masks_batched(
+        raw, model._fig_thresholds, model._inner_thresholds
+    )
+    masks = background.finalize_masks_batched(
+        cleaned, model._mask_params_t
+    )
+    frames_full = background.paste_rois(
+        recon, jnp.asarray(offsets), (H, W))
+    occ_ref, col_ref = carve_ops.carve_from_tables(
+        masks, frames_full, model.tables.valid, model.tables.lin_idx,
+        views_threshold=model.rig.views_threshold,
+        color_camera=model.rig.color_camera,
+    )
+    occ_ref = np.asarray(occ_ref)
+    assert occ_ref.any(), "degenerate: nothing carved through the ROI"
+    np.testing.assert_array_equal(np.asarray(occ_y), occ_ref)
+    np.testing.assert_array_equal(
+        np.asarray(col_y)[occ_ref], np.asarray(col_ref)[occ_ref])
+
+
+def test_validate_reduced_ingest_roi_guard(model_and_frame):
+    model, frame = model_and_frame
+    report = model.validate_reduced_ingest(frame, ingest="yuv420_roi",
+                                           roi_hw=(48, 64))
+    assert report["mask_iou_min"] >= 0.95
+    assert report["occ_exact"] > 0
+    assert report["occ_diff_voxels"] <= 0.05 * report["occ_exact"]

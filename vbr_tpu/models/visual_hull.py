@@ -445,8 +445,18 @@ class VisualHull:
         ]
         return occ, colors
 
+    def _roi_tracker(self, roi_hw):
+        """Build the motion ROI tracker seeded by the frozen background
+        model's own lead-mixture value channel (utils.roi)."""
+        from vbr_tpu.utils.roi import MotionROITracker
+
+        mean0 = np.asarray(self._stacked_fz.mean)[:, :, :, 0]  # lead slot
+        bg_value = (mean0[..., 2] if self.mog_params[0].use_hsv
+                    else mean0.max(axis=-1))
+        return MotionROITracker(bg_value, roi_hw)
+
     def stream_viewer(self, frames_iter, depth: int = 3,
-                      ingest: str = "bgr"):
+                      ingest: str = "bgr", roi_hw=(320, 224)):
         """Streaming viewer-array pipeline tuned for slow host↔device links.
 
         Per frame ONE fused device program emits wire-compressed outputs
@@ -458,29 +468,49 @@ class VisualHull:
         ``ingest="yuv420"`` (opt-in, r5) halves the per-frame UPLOAD as
         well: frames are packed host-side into the (C, H·3/2, W) u8
         YUV 4:2:0 wire format and reconstructed on device inside the
-        same fused program.  Not bit-exact (chroma subsample) — run
-        :meth:`validate_reduced_ingest` on representative frames first;
-        the measured guard on the production rig is cleaned-mask IoU
-        ≥ 0.999 (see docs/BENCHMARKS.md).  The viewer colors come from
-        the reconstructed frame.
+        same fused program.  ``ingest="yuv420_roi"`` cuts ~4× further:
+        a host-side motion tracker (``utils.roi.MotionROITracker``,
+        seeded by the frozen background model itself) finds a
+        fixed-``roi_hw`` window per camera and only that window is
+        uploaded; frames where the tracker cannot guarantee containment
+        automatically fall back to the full yuv420 program.  Neither is
+        bit-exact — run :meth:`validate_reduced_ingest` on
+        representative frames first; the measured guard on the
+        production rig is cleaned-mask IoU ≥ 0.998 (docs/BENCHMARKS.md).
+        The viewer colors come from the reconstructed (windowed)
+        frames.
         """
         import collections
 
         from vbr_tpu.ops import carve_pallas
         from vbr_tpu.ops import color as color_ops
 
-        if ingest not in ("bgr", "yuv420"):
+        if ingest not in ("bgr", "yuv420", "yuv420_roi"):
             raise ValueError(f"unknown ingest format {ingest!r}")
         self._ensure_fast_state()
         self._ensure_btab()
+        tracker = self._roi_tracker(roi_hw) if ingest == "yuv420_roi" \
+            else None
         q = collections.deque()
 
         def dispatch(frames):
             # the original BGR frames ride along for the exact overflow
             # fallback; only the device upload uses the packed format
-            upload = frames
-            if ingest == "yuv420":
+            mode = ingest
+            roi_off = None
+            if ingest == "yuv420_roi":
+                offsets, full_needed = tracker.update(np.asarray(frames))
+                if full_needed:
+                    mode = "yuv420"  # guarded containment fallback
+                else:
+                    roi_off = jnp.asarray(offsets)
+            if mode == "yuv420_roi":
+                upload = color_ops.bgr_to_yuv420_host(
+                    tracker.crop(np.asarray(frames)))
+            elif mode == "yuv420":
                 upload = color_ops.bgr_to_yuv420_host(np.asarray(frames))
+            else:
+                upload = frames
             wire = _full_step_pallas(
                 self._stacked_fz, jnp.asarray(upload),
                 self._btab.pk,
@@ -493,7 +523,7 @@ class VisualHull:
                 fig_thresholds=self._fig_thresholds,
                 inner_thresholds=self._inner_thresholds,
                 views_threshold=self.rig.views_threshold,
-                layout="packed", ingest=ingest,
+                layout="packed", ingest=mode, roi_offsets=roi_off,
             )
             try:
                 wire.copy_to_host_async()
@@ -530,34 +560,33 @@ class VisualHull:
         while q:
             yield resolve(q.popleft())
 
-    def validate_reduced_ingest(self, frames: np.ndarray):
-        """Measure what the YUV 4:2:0 reduced-byte ingest changes.
+    def validate_reduced_ingest(self, frames: np.ndarray,
+                                ingest: str = "yuv420",
+                                roi_hw=(320, 224)):
+        """Measure what a reduced-byte ingest mode changes.
 
-        The wire format (``ops.color.bgr_to_yuv420_host``) is explicitly
-        lossy; this guard quantifies the loss WHERE IT MATTERS — the
-        cleaned masks and the carved hull — on representative frames,
-        so enabling ``ingest="yuv420"`` is an evidence-based decision,
-        not an assumption (VERDICT r4 #6).  Returns a dict:
+        The wire formats (``ops.color.bgr_to_yuv420_host``; the
+        fixed-window ROI crop on top for ``"yuv420_roi"``) are
+        explicitly lossy; this guard quantifies the loss WHERE IT
+        MATTERS — the cleaned masks and the carved hull — on
+        representative frames, so enabling reduced ingest is an
+        evidence-based decision, not an assumption (VERDICT r4 #6).
+        Returns a dict:
 
           mask_iou        per-camera IoU of cleaned masks (exact vs
-                          reconstructed-frame path)
+                          reduced path)
           mask_iou_min    min over cameras
           occ_diff_voxels occupancy voxels that differ
           occ_exact       exact-path occupied count
           max_channel_err max |reconstructed − original| over pixels
+                          (inside the windows, for the ROI mode)
         """
         from vbr_tpu.ops import color as color_ops
 
         self._ensure_fast_state()
         frames = np.asarray(frames)
-        packed = color_ops.bgr_to_yuv420_host(frames)
-        recon = np.asarray(color_ops.yuv420_to_bgr_u8(jnp.asarray(packed)))
 
-        def masks_of(fr):
-            raw = background.raw_masks_batched_fz(
-                self._stacked_fz, jnp.asarray(fr), self._mask_params_t,
-                self.mog_params[0].use_hsv,
-            )
+        def clean_finalize(raw):
             cleaned, ovf = background.ccl.clean_masks_batched(
                 raw, self._fig_thresholds, self._inner_thresholds
             )
@@ -566,8 +595,50 @@ class VisualHull:
             )
             return np.asarray(masks), np.asarray(ovf)
 
+        def masks_of(fr):
+            raw = background.raw_masks_batched_fz(
+                self._stacked_fz, jnp.asarray(fr), self._mask_params_t,
+                self.mog_params[0].use_hsv,
+            )
+            return clean_finalize(raw)
+
         m_exact, _ = masks_of(frames)
-        m_red, _ = masks_of(recon)
+        if ingest == "yuv420_roi":
+            tracker = self._roi_tracker(roi_hw)
+            # one update places the windows; ``full`` only signals the
+            # first-frame convention, which the guard ignores (it is
+            # quantifying the ROI path's loss at this placement)
+            offsets, _full = tracker.update(frames)
+            crops = tracker.crop(frames)
+            packed = color_ops.bgr_to_yuv420_host(crops)
+            recon_roi = np.asarray(
+                color_ops.yuv420_to_bgr_u8(jnp.asarray(packed)))
+            raw = background.raw_masks_batched_fz_roi(
+                self._stacked_fz, jnp.asarray(recon_roi),
+                jnp.asarray(offsets), self._mask_params_t,
+                self.mog_params[0].use_hsv,
+                image_hw=frames.shape[1:3],
+            )
+            m_red, _ = clean_finalize(raw)
+            recon = np.asarray(background.paste_rois(
+                jnp.asarray(recon_roi), jnp.asarray(offsets),
+                frames.shape[1:3]))
+            err_region = np.zeros(frames.shape[:3], bool)
+            for c in range(frames.shape[0]):
+                y0, x0 = offsets[c]
+                err_region[c, y0:y0 + roi_hw[0], x0:x0 + roi_hw[1]] = True
+            chan_err = int(np.abs(
+                recon.astype(np.int32) - frames.astype(np.int32)
+            ).max(axis=-1)[err_region].max())
+        elif ingest == "yuv420":
+            packed = color_ops.bgr_to_yuv420_host(frames)
+            recon = np.asarray(
+                color_ops.yuv420_to_bgr_u8(jnp.asarray(packed)))
+            m_red, _ = masks_of(recon)
+            chan_err = int(np.abs(
+                recon.astype(np.int32) - frames.astype(np.int32)).max())
+        else:
+            raise ValueError(f"unknown reduced ingest {ingest!r}")
         ious = []
         for c in range(frames.shape[0]):
             a, b = m_exact[c] > 0, m_red[c] > 0
@@ -592,9 +663,7 @@ class VisualHull:
             "mask_iou_min": round(min(ious), 6),
             "occ_diff_voxels": int((occ_e != occ_r).sum()),
             "occ_exact": int(occ_e.sum()),
-            "max_channel_err": int(
-                np.abs(recon.astype(np.int32)
-                       - frames.astype(np.int32)).max()),
+            "max_channel_err": chan_err,
         }
 
     def stream_surface(self, frames_iter, depth: int = 2,
@@ -1055,6 +1124,7 @@ def _full_step_pallas(
     stacked_fz, frames, pk, lcc, vorig, uorig, allv, ry, rx, *,
     btab_static, mask_params, use_hsv, fig_thresholds, inner_thresholds,
     views_threshold, layout, interpret=False, ingest="bgr",
+    roi_offsets=None,
 ):
     """The whole per-frame pipeline as ONE device program:
     HSV → compressed frozen GMM apply → pre-morphology → Pallas CCL
@@ -1062,22 +1132,39 @@ def _full_step_pallas(
     (occ, colors, overflow).  ``interpret`` runs the Pallas kernels in
     interpret mode (CPU CI gates of the production composition).
 
-    ``ingest="yuv420"`` accepts ``frames`` in the reduced-byte wire
-    format (``ops.color.bgr_to_yuv420_host``: (C, H·3/2, W) u8, half
-    the upload bytes of BGR on link-bound tunnels) and reconstructs
-    BGR on device first — explicitly NOT bit-exact (chroma subsample);
-    gate with :meth:`VisualHull.validate_reduced_ingest`.
+    Reduced-byte wire formats (both explicitly NOT bit-exact — gate
+    with :meth:`VisualHull.validate_reduced_ingest`):
+
+    * ``ingest="yuv420"`` — ``frames`` is the packed YUV 4:2:0 plane
+      (``ops.color.bgr_to_yuv420_host``: (C, H·3/2, W) u8, half the
+      upload bytes); BGR is reconstructed on device first.
+    * ``ingest="yuv420_roi"`` — ``frames`` is the packed plane of a
+      fixed-size per-camera ROI window ((C, RH·3/2, RW) u8, ~4× fewer
+      bytes again) with ``roi_offsets`` (C, 2) i32 window origins from
+      ``utils.roi.MotionROITracker``; the frozen-GMM state is sliced
+      at the offsets and the raw masks pasted onto a zero canvas
+      (background.raw_masks_batched_fz_roi), so everything downstream
+      is the full-frame program.
     """
     from vbr_tpu.ops import carve_pallas
     from vbr_tpu.ops import color as color_ops
 
-    if ingest == "yuv420":
-        frames = color_ops.yuv420_to_bgr_u8.__wrapped__(frames)
-    elif ingest != "bgr":
-        raise ValueError(f"unknown ingest format {ingest!r}")
-    raw = background.raw_masks_batched_fz.__wrapped__(
-        stacked_fz, frames, mask_params, use_hsv
-    )
+    image_hw = stacked_fz.bcount.shape[1:3]
+    if ingest == "yuv420_roi":
+        rois = color_ops.yuv420_to_bgr_u8.__wrapped__(frames)
+        raw = background.raw_masks_batched_fz_roi.__wrapped__(
+            stacked_fz, rois, roi_offsets, mask_params, use_hsv,
+            image_hw=image_hw,
+        )
+        frames = background.paste_rois(rois, roi_offsets, image_hw)
+    else:
+        if ingest == "yuv420":
+            frames = color_ops.yuv420_to_bgr_u8.__wrapped__(frames)
+        elif ingest != "bgr":
+            raise ValueError(f"unknown ingest format {ingest!r}")
+        raw = background.raw_masks_batched_fz.__wrapped__(
+            stacked_fz, frames, mask_params, use_hsv
+        )
     cleaned, ovf = background.ccl.clean_masks_batched.__wrapped__(
         raw, fig_thresholds, inner_thresholds, interpret=interpret
     )

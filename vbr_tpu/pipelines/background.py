@@ -220,6 +220,72 @@ def raw_masks_batched_fz(
     return jnp.stack([apply_cam(c) for c in range(frames.shape[0])])
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mask_params", "use_hsv", "image_hw")
+)
+def raw_masks_batched_fz_roi(
+    fz: gmm.FrozenMOGState,  # stacked, leading camera axis (full frame)
+    rois: jnp.ndarray,  # (C, RH, RW, 3) u8 BGR crops
+    offsets: jnp.ndarray,  # (C, 2) i32 window origins [y0, x0]
+    mask_params: tuple,
+    use_hsv: bool = True,
+    *,
+    image_hw: tuple,
+) -> jnp.ndarray:
+    """ROI variant of :func:`raw_masks_batched_fz` (r5 reduced-byte
+    ingest): the frozen GMM applies to a fixed-size crop of each
+    camera's state at a dynamic offset, the raw crop is pasted onto a
+    zero (background) canvas, and the per-camera pre-morphology then
+    runs FULL-frame — so given identical pixels inside the window and
+    no true foreground outside it, the output is bit-identical to the
+    full-frame path (test-gated).  Guarding that premise is the ROI
+    tracker's job (utils.roi.MotionROITracker + the measured ingest
+    guard)."""
+    H, W = image_hw
+    RH, RW = rois.shape[1:3]
+    hsv = jax.vmap(_color_ops.bgr_to_hsv_u8)(rois) if use_hsv else rois
+
+    def apply_cam(c):
+        y0 = offsets[c, 0]
+        x0 = offsets[c, 1]
+        crop = gmm.FrozenMOGState(
+            mean=jax.lax.dynamic_slice(
+                fz.mean[c], (y0, x0, 0, 0),
+                (RH, RW) + fz.mean.shape[3:]),
+            thr=jax.lax.dynamic_slice(
+                fz.thr[c], (y0, x0, 0), (RH, RW, fz.thr.shape[3])),
+            bcount=jax.lax.dynamic_slice(
+                fz.bcount[c], (y0, x0), (RH, RW)),
+        )
+        raw_roi = gmm.apply_frozen_compressed.__wrapped__(crop, hsv[c])
+        raw = jax.lax.dynamic_update_slice(
+            jnp.zeros((H, W), raw_roi.dtype), raw_roi, (y0, x0))
+        mp = mask_params[c]
+        if mp.opening_pre:
+            raw = morphology.opening(raw, (3, 3))
+        if mp.closing_pre:
+            raw = morphology.closing(raw, (3, 3))
+        return raw
+
+    return jnp.stack([apply_cam(c) for c in range(rois.shape[0])])
+
+
+def paste_rois(rois: jnp.ndarray, offsets: jnp.ndarray,
+               image_hw: tuple) -> jnp.ndarray:
+    """(C, RH, RW, 3) crops + (C, 2) origins → (C, H, W, 3) canvases
+    (zeros outside the windows) — the color-frame stand-in for the ROI
+    ingest (hull voxels project inside the subject's window, so viewer
+    colors are unaffected in practice; measured by the ingest guard)."""
+    H, W = image_hw
+
+    def one(roi, off):
+        return jax.lax.dynamic_update_slice(
+            jnp.zeros((H, W, roi.shape[-1]), roi.dtype), roi,
+            (off[0], off[1], 0))
+
+    return jax.vmap(one)(rois, offsets)
+
+
 @functools.partial(jax.jit, static_argnames=("mask_params", "mog_params"))
 def raw_masks_batched(
     stacked: gmm.MOGState,

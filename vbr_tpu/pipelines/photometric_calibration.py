@@ -767,6 +767,7 @@ def calibrate_video_photometric(
     deoverlay: bool = True,
     samples_per_square: int = 12,
     device: Optional[str] = "auto",
+    fix_pp: Optional[Tuple[float, float]] = None,
 ) -> Tuple[PhotoCalibResult, List[BoardView]]:
     """Full intrinsic calibration of one video, detector-free.
 
@@ -806,5 +807,5 @@ def calibrate_video_photometric(
         init=(init_res.K, np.asarray(init_res.dist).reshape(-1)[:5].copy(),
               poses),
         stages=[(n_nuis, "nuisance"), (iters - n_nuis, "all")],
-        device=device)
+        device=device, fix_pp=fix_pp)
     return res, views
