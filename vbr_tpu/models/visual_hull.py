@@ -446,14 +446,18 @@ class VisualHull:
         return occ, colors
 
     def _roi_tracker(self, roi_hw):
-        """Build the motion ROI tracker seeded by the frozen background
-        model's own lead-mixture value channel (utils.roi)."""
+        """Build the foreground ROI tracker running the frozen
+        classifier itself on a strided grid (utils.roi)."""
         from vbr_tpu.utils.roi import MotionROITracker
 
-        mean0 = np.asarray(self._stacked_fz.mean)[:, :, :, 0]  # lead slot
-        bg_value = (mean0[..., 2] if self.mog_params[0].use_hsv
-                    else mean0.max(axis=-1))
-        return MotionROITracker(bg_value, roi_hw)
+        fz = self._stacked_fz
+        return MotionROITracker(
+            np.asarray(fz.mean), np.asarray(fz.thr),
+            np.asarray(fz.bcount), roi_hw,
+            use_hsv=self.mog_params[0].use_hsv,
+            figure_threshold=min(
+                p.figure_threshold for p in self.mask_params),
+        )
 
     def stream_viewer(self, frames_iter, depth: int = 3,
                       ingest: str = "bgr", roi_hw=(320, 224)):

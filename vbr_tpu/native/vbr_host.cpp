@@ -223,4 +223,48 @@ void vbr_writer_release(void* handle) {
   delete w;
 }
 
+// ---- YUV 4:2:0 wire-format pack (reduced-byte ingest, r5) ----
+//
+// Byte-identical to the numpy reference in ops/color.py
+// (integer BT.601 full-range, arithmetic shifts, 2x2 chroma mean with
+// +2 rounding, final clip) -- gated by tests/test_reduced_ingest.py.
+// The numpy pack costs ~107 ms per 4-camera frame-set on this one-core
+// host (it was the end-to-end bottleneck, not the link); this loop runs
+// at memory speed.
+
+void vbr_yuv420_pack(const uint8_t* bgr, int C, int H, int W,
+                     uint8_t* out) {
+  const int plane = H * W;
+  const int out_plane = (H * 3 / 2) * W;
+  for (int c = 0; c < C; ++c) {
+    const uint8_t* src = bgr + static_cast<long>(c) * plane * 3;
+    uint8_t* dst_y = out + static_cast<long>(c) * out_plane;
+    uint8_t* dst_ch = dst_y + plane;  // (H/2, W): U left, V right
+    for (int i = 0; i < H; i += 2) {
+      const uint8_t* r0 = src + static_cast<long>(i) * W * 3;
+      const uint8_t* r1 = r0 + W * 3;
+      uint8_t* y0 = dst_y + static_cast<long>(i) * W;
+      uint8_t* y1 = y0 + W;
+      uint8_t* urow = dst_ch + static_cast<long>(i / 2) * W;
+      uint8_t* vrow = urow + W / 2;
+      for (int j = 0; j < W; j += 2) {
+        int us = 0, vs = 0;
+        const uint8_t* px[4] = {r0 + 3 * j, r0 + 3 * (j + 1),
+                                r1 + 3 * j, r1 + 3 * (j + 1)};
+        uint8_t* yo[4] = {y0 + j, y0 + j + 1, y1 + j, y1 + j + 1};
+        for (int k = 0; k < 4; ++k) {
+          const int b = px[k][0], g = px[k][1], r = px[k][2];
+          int y = (77 * r + 150 * g + 29 * b + 128) >> 8;
+          us += ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128;
+          vs += ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128;
+          *yo[k] = static_cast<uint8_t>(y < 0 ? 0 : (y > 255 ? 255 : y));
+        }
+        int u = (us + 2) >> 2, v = (vs + 2) >> 2;
+        urow[j / 2] = static_cast<uint8_t>(u < 0 ? 0 : (u > 255 ? 255 : u));
+        vrow[j / 2] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -107,8 +107,26 @@ def bgr_to_yuv420_host(frames):
     """Host-side pack: (..., H, W, 3) u8 BGR → (..., H·3/2, W) u8.
 
     Integer BT.601 full-range (JPEG) arithmetic; chroma = mean of each
-    2×2 block (rounded).  numpy only — runs in the ingest thread.
+    2×2 block (rounded).  Uses the native C++ pack when available
+    (byte-identical, test-gated; the numpy path costs ~107 ms per
+    4-camera set on a one-core host — it, not the link, capped the
+    streaming loop) and falls back to numpy otherwise.
     """
+    import numpy as np
+
+    if np.ndim(frames) == 4:  # (C, H, W, 3): the native fast path
+        try:
+            from vbr_tpu.native import yuv420_pack
+
+            return yuv420_pack(np.asarray(frames))
+        except Exception:  # no toolchain/lib: numpy fallback below
+            pass
+    return _bgr_to_yuv420_numpy(frames)
+
+
+def _bgr_to_yuv420_numpy(frames):
+    """The numpy reference implementation of the pack (the native
+    kernel's parity oracle)."""
     import numpy as np
 
     b = frames[..., 0].astype(np.int32)
