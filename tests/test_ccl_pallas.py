@@ -174,12 +174,13 @@ class TestPackedWire:
             jnp.asarray(golden_masks), jnp.asarray(first_frames[1]), btab,
             views_threshold=4, interpret=True, layout="blocked",
         )
-        packed, ids, count, col_c, ovf = carve_pallas.pack_blocked_outputs(
-            occ_b, col_b, k_blocks=16
+        packed_k, ids, n_blocks, n_vox, cols, ovf = (
+            carve_pallas.pack_blocked_outputs(
+                occ_b, col_b, k_blocks=16, k_voxels=4096)
         )
         assert not bool(np.asarray(ovf))
         pos_p, rgb_p = carve_pallas.viewer_arrays_from_packed(
-            packed, ids, count, col_c, btab, grid
+            packed_k, ids, n_blocks, n_vox, cols, btab, grid
         )
         pos_r, rgb_r = carve_pallas.compact_voxels_blocked(
             occ_b, col_b, btab, grid
@@ -188,12 +189,13 @@ class TestPackedWire:
         np.testing.assert_array_equal(rgb_p, rgb_r)
 
         wire = carve_pallas.encode_wire(
-            packed, ids, count, col_c, jnp.int32(0)
+            packed_k, ids, n_blocks, n_vox, cols, jnp.int32(0)
         )
-        any_ovf, count2, ids2, packed2, col2 = carve_pallas.decode_wire(
-            np.asarray(wire), 16, btab.nsuper, btab.nsub
-        )
-        assert any_ovf == 0 and count2 == int(np.asarray(count))
+        (any_ovf, nb2, nv2, ids2, packed2,
+         cols2) = carve_pallas.decode_wire(
+            np.asarray(wire), 16, 4096)
+        assert any_ovf == 0 and nb2 == int(np.asarray(n_blocks))
+        assert nv2 == int(np.asarray(n_vox))
         np.testing.assert_array_equal(ids2, np.asarray(ids))
-        np.testing.assert_array_equal(packed2, np.asarray(packed))
-        np.testing.assert_array_equal(col2, np.asarray(col_c))
+        np.testing.assert_array_equal(packed2, np.asarray(packed_k))
+        np.testing.assert_array_equal(cols2, np.asarray(cols))

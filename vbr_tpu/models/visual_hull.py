@@ -537,9 +537,9 @@ class VisualHull:
 
         def resolve(entry):
             wire, frames = entry
-            any_ovf, count, ids, packed, col_c = carve_pallas.decode_wire(
-                wire, 512, self._btab.nsuper, self._btab.nsub
-            )
+            (any_ovf, n_blocks, n_vox, ids, packed_k,
+             cols) = carve_pallas.decode_wire(
+                wire, total_voxels=self.grid.num_voxels)
             if any_ovf:
                 # exact fallback: host-CCL masks + uncompressed carve
                 masks = self.masks(frames)
@@ -553,8 +553,8 @@ class VisualHull:
                     occ, col, self._btab, self.grid, self.rig.scaling_factor
                 )
             return carve_pallas.viewer_arrays_from_packed(
-                packed, ids, count, col_c, self._btab, self.grid,
-                self.rig.scaling_factor,
+                packed_k, ids, n_blocks, n_vox, cols, self._btab,
+                self.grid, self.rig.scaling_factor,
             )
 
         for frames in frames_iter:
@@ -1184,11 +1184,12 @@ def _full_step_pallas(
         interpret=interpret,
     )
     if layout == "packed":  # wire-compressed outputs for slow links
-        packed, ids, count, col_c, bovf = carve_pallas.pack_blocked_outputs(
-            occ, col, k_blocks=512
+        packed_k, ids, n_blocks, n_vox, cols, bovf = (
+            carve_pallas.pack_blocked_outputs(occ, col)
         )
         any_ovf = (jnp.any(ovf) | bovf).astype(jnp.int32)
-        return carve_pallas.encode_wire(packed, ids, count, col_c, any_ovf)
+        return carve_pallas.encode_wire(
+            packed_k, ids, n_blocks, n_vox, cols, any_ovf)
     return occ, col, ovf
 
 

@@ -1028,16 +1028,30 @@ def compact_voxels_blocked(
     return positions, rgb
 
 
-@functools.partial(jax.jit, static_argnames=("k_blocks",))
-def pack_blocked_outputs(occ_b, col_b, k_blocks: int = 512):
+WIRE_K_BLOCKS = 512  # sub-blocks with any occupied voxel (rig: ~263)
+WIRE_K_VOXELS = 98304  # occupied-voxel color slots (rig: ~57k)
+
+
+@functools.partial(jax.jit, static_argnames=("k_blocks", "k_voxels"))
+def pack_blocked_outputs(occ_b, col_b, k_blocks: int = WIRE_K_BLOCKS,
+                         k_voxels: int = WIRE_K_VOXELS):
     """Wire-format compression of blocked carve outputs for slow links.
 
-    occupancy → bit-packed u8 (8 voxels/byte, little-endian within the
-    byte); colors → gathered only for sub-blocks containing occupied
-    voxels (≤ k_blocks of them; count returned, overflow flagged so the
-    caller can fall back to the full color tensor — lossless either way).
-    Cuts the per-frame device→host payload from ~8.4 MB to ~1 MB.
+    occupancy → per-OCCUPIED-sub-block bitmaps (≤ ``k_blocks`` of them,
+    8 voxels/byte little-endian; empty blocks carry no bytes at all —
+    the r4 format shipped the full-grid bitmap, 262 KB at 128³);
+    colors → compacted to the OCCUPIED voxels only in ascending blocked
+    order (≤ ``k_voxels`` rows; the r4 format gathered whole 512-voxel
+    blocks, ~58 % of whose slots were empty on the rig).  Per-frame
+    payload at 128³: ~1.05 MB (r4) → ~0.32 MB.  Both counts returned;
+    overflow of either capacity is flagged so the caller can fall back
+    to the uncompressed tensors — lossless either way.
+
+    Returns ``(packed_k (k_blocks, BV/8) u8, ids (k_blocks,) i32,
+    n_blocks (), n_vox (), cols (k_voxels, 3) u8 BGR, overflow ())``.
     """
+    from vbr_tpu.ops import marching_cubes as _mc
+
     nsuper, nsub, BVv = occ_b.shape
     occ_u = (occ_b > 0).astype(jnp.uint8)
     bits = occ_u.reshape(nsuper, nsub, BVv // 8, 8).astype(jnp.uint32)
@@ -1046,58 +1060,92 @@ def pack_blocked_outputs(occ_b, col_b, k_blocks: int = 512):
 
     flat_any = occ_u.reshape(nsuper * nsub, BVv).max(axis=1) > 0
     cs = jnp.cumsum(flat_any.astype(jnp.int32))
-    count = cs[-1]
+    n_blocks = cs[-1]
     pos = jnp.searchsorted(cs, jnp.arange(1, k_blocks + 1, dtype=jnp.int32))
     ids = jnp.clip(pos, 0, nsuper * nsub - 1).astype(jnp.int32)
-    col_c = jnp.take(col_b.reshape(nsuper * nsub, 3, BVv), ids, axis=0)
-    return packed, ids, count, col_c, count > k_blocks
+    packed_k = jnp.take(
+        packed.reshape(nsuper * nsub, BVv // 8), ids, axis=0)
+
+    # occupied-voxel color compaction (ascending blocked voxel order —
+    # identical to the bit order of the included blocks, so the decoder
+    # needs no per-voxel index): the scatter-free two-level compaction
+    # of ops.marching_cubes (jnp.nonzero's bincount scatter costs 18 ms
+    # at this size)
+    total = nsuper * nsub * BVv
+    kv = min(k_voxels, total)
+    flat_occ = occ_u.reshape(-1) > 0
+    nblk128 = -(-total // _mc._COMPACT_BLOCK)
+    vidx, n_vox = _mc._compact_active(flat_occ, kv, min(nblk128, kv))
+    blk = vidx // BVv
+    within = vidx % BVv
+    cf = col_b.reshape(-1)
+    base = blk * (3 * BVv) + within
+    cols = jnp.stack(
+        [jnp.take(cf, base + c * BVv) for c in range(3)], axis=-1
+    ).astype(jnp.uint8)  # (kv, 3) BGR
+    if kv < k_voxels:
+        cols = jnp.pad(cols, ((0, k_voxels - kv), (0, 0)))
+    ovf = (n_blocks > k_blocks) | (n_vox > kv)
+    return packed_k, ids, n_blocks, n_vox, cols, ovf
 
 
-def encode_wire(packed, ids, count, col_c, any_ovf):
+def encode_wire(packed_k, ids, n_blocks, n_vox, cols, any_ovf):
     """Concatenate packed outputs into ONE u8 buffer → one device→host
     flush per frame (each separate fetch pays the link's fixed ~30 ms
     round-trip on tunneled setups)."""
     head = jax.lax.bitcast_convert_type(
-        jnp.stack([any_ovf.astype(jnp.int32), count.astype(jnp.int32)]),
+        jnp.stack([any_ovf.astype(jnp.int32), n_blocks.astype(jnp.int32),
+                   n_vox.astype(jnp.int32)]),
         jnp.uint8,
-    ).ravel()  # 8 bytes
+    ).ravel()  # 12 bytes
     ids_b = jax.lax.bitcast_convert_type(ids, jnp.uint8).ravel()
     return jnp.concatenate(
-        [head, ids_b, packed.ravel(), col_c.ravel()]
+        [head, ids_b, packed_k.ravel(), cols.ravel()]
     )
 
 
-def decode_wire(wire_host, k_blocks, nsuper, nsub):
-    """Inverse of :func:`encode_wire` (host, zero-copy views)."""
+def decode_wire(wire_host, k_blocks=WIRE_K_BLOCKS,
+                k_voxels=WIRE_K_VOXELS, total_voxels=None):
+    """Inverse of :func:`encode_wire` (host, zero-copy views).
+
+    ``total_voxels`` (= grid voxel count) clamps ``k_voxels`` the same
+    way the encoder does for small grids."""
+    if total_voxels is not None:
+        k_voxels = min(k_voxels, total_voxels)
     buf = np.asarray(wire_host)
-    any_ovf, count = np.frombuffer(buf[:8].tobytes(), np.int32)
-    o = 8
+    any_ovf, n_blocks, n_vox = np.frombuffer(buf[:12].tobytes(), np.int32)
+    o = 12
     ids = np.frombuffer(buf[o:o + 4 * k_blocks].tobytes(), np.int32)
     o += 4 * k_blocks
-    nb = nsuper * nsub * (BV // 8)
-    packed = buf[o:o + nb].reshape(nsuper, nsub, BV // 8)
+    nb = k_blocks * (BV // 8)
+    packed_k = buf[o:o + nb].reshape(k_blocks, BV // 8)
     o += nb
-    col_c = buf[o:o + k_blocks * 3 * BV].reshape(k_blocks, 3, BV)
-    return int(any_ovf), int(count), ids, packed, col_c
+    cols = buf[o:o + k_voxels * 3].reshape(k_voxels, 3)
+    return int(any_ovf), int(n_blocks), int(n_vox), ids, packed_k, cols
 
 
 def viewer_arrays_from_packed(
-    packed, ids, count, col_c, tables: BlockTables, grid: GridConfig,
-    scaling_factor: float = 64.0,
+    packed_k, ids, n_blocks, n_vox, cols, tables: BlockTables,
+    grid: GridConfig, scaling_factor: float = 64.0,
 ):
     """Host-side unpack of :func:`pack_blocked_outputs` into the viewer
     contract (same semantics as compact_voxels_blocked)."""
-    packed = np.asarray(packed)
+    packed_k = np.asarray(packed_k)
     ids = np.asarray(ids)
-    count = int(np.asarray(count))
-    col_c = np.asarray(col_c)
-    nsuper, nsub, nbytes = packed.shape
-    occ = np.unpackbits(
-        packed.reshape(-1), bitorder="little"
-    ).astype(bool)  # blocked voxel order
+    n_blocks = int(np.asarray(n_blocks))
+    n_vox = int(np.asarray(n_vox))
+    cols = np.asarray(cols)
+
+    bits = np.unpackbits(
+        packed_k[:n_blocks].reshape(-1), bitorder="little"
+    ).astype(bool)  # included blocks, ascending, bit order within
+    vox = (
+        ids[:n_blocks, None] * BV
+        + np.arange(BV, dtype=np.int64)[None, :]
+    ).reshape(-1)[bits]
+    assert len(vox) == n_vox, "wire corruption: bitmap/color count skew"
 
     pts = _blocked_points_cache(tables, grid)  # pre-truncated f32
-    vox = np.flatnonzero(occ)
     kept = pts[vox]
     positions = np.stack(
         [
@@ -1107,14 +1155,8 @@ def viewer_arrays_from_packed(
         ],
         axis=-1,
     ).astype(np.float32)
-
-    nblk = nsuper * nsub
-    slot = np.full(nblk, -1, np.int32)
-    slot[ids[:count]] = np.arange(count, dtype=np.int32)
-    blk = vox // BV
-    within = vox % BV
-    colors = col_c[slot[blk], :, within]  # (M, 3) BGR
-    rgb = colors[:, ::-1].astype(np.float32) / 255.0
+    # colors arrive voxel-compacted in the SAME ascending blocked order
+    rgb = cols[:n_vox, ::-1].astype(np.float32) / 255.0
     return positions, rgb
 
 
