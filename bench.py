@@ -537,27 +537,50 @@ def _worker():
             except Exception as e:  # never fail the headline on this
                 out.extra(fused_surface_error=f"{type(e).__name__}: {e}")
 
-        # Marching-cubes surface of the carved hull (viewer surface mode):
-        # binary fast path — dense device config pass + generated-table
-        # host emission (bit-identical to the per-cell device emitters).
-        if out.budget_ok("mc_surface", 20):
+        # End-to-end streaming over the tunnel with the thin-link
+        # production mode (yuv420_roi ingest + the r5 wire format):
+        # decode → tracker → pack → upload → fused step → download →
+        # viewer arrays.  Weather-dependent by nature (the guard result
+        # rides along so the number is evidence-backed).
+        if vh is not None and os.path.isdir(data_dir) and \
+                out.budget_ok("stream_e2e", 75):
             try:
-                from vbr_tpu.ops import marching_cubes as mc
+                from vbr_tpu.native import PrefetchingSource
 
-                vol = np.asarray(occ_ref).reshape(grid.shape)
-                tris, ntri = mc.extract_mesh(vol, algorithm="cubes")
+                src = PrefetchingSource([
+                    os.path.join(data_dir, f"cam{i}", "video.avi")
+                    for i in range(1, 5)
+                ])
+
+                def frames_iter(limit):
+                    n = 0
+                    while n < limit:
+                        f = src.next_frames()
+                        if f is None:
+                            return
+                        yield f
+                        n += 1
+
+                guard = vh.validate_reduced_ingest(
+                    frames, ingest="yuv420_roi")
+                for _ in vh.stream_viewer(frames_iter(3),
+                                          ingest="yuv420_roi"):
+                    pass  # warm-up/compile
                 t0 = time.perf_counter()
-                reps = 5
-                for _ in range(reps):
-                    tris, ntri = mc.extract_mesh(vol, algorithm="cubes")
+                n = 0
+                for _pos, _rgb in vh.stream_viewer(
+                        frames_iter(40), ingest="yuv420_roi"):
+                    n += 1
+                dt = time.perf_counter() - t0
+                src.close()
                 out.extra(
-                    mc_surface_ms=round(
-                        (time.perf_counter() - t0) / reps * 1e3, 2
-                    ),
-                    mc_surface_triangles=int(ntri),
+                    stream_e2e_roi_fps=round(n / dt, 2),
+                    stream_e2e_roi_ms_per_frame=round(dt / n * 1e3, 2),
+                    stream_e2e_guard_mask_iou_min=guard["mask_iou_min"],
+                    stream_e2e_guard_occ_diff=guard["occ_diff_voxels"],
                 )
             except Exception as e:  # never fail the headline on this
-                out.extra(mc_surface_error=f"{type(e).__name__}: {e}")
+                out.extra(stream_e2e_error=f"{type(e).__name__}: {e}")
 
         # Balanced grid sharding (cost-LPT superblock order): the honest
         # single-chip protocol — time each of the 8 shards' actual local
@@ -612,6 +635,28 @@ def _worker():
                 )
             except Exception as e:  # never fail the headline on this
                 out.extra(sharded_error=f"{type(e).__name__}: {e}")
+
+        # Marching-cubes surface of the carved hull (viewer surface mode):
+        # binary fast path — dense device config pass + generated-table
+        # host emission (bit-identical to the per-cell device emitters).
+        if out.budget_ok("mc_surface", 20):
+            try:
+                from vbr_tpu.ops import marching_cubes as mc
+
+                vol = np.asarray(occ_ref).reshape(grid.shape)
+                tris, ntri = mc.extract_mesh(vol, algorithm="cubes")
+                t0 = time.perf_counter()
+                reps = 5
+                for _ in range(reps):
+                    tris, ntri = mc.extract_mesh(vol, algorithm="cubes")
+                out.extra(
+                    mc_surface_ms=round(
+                        (time.perf_counter() - t0) / reps * 1e3, 2
+                    ),
+                    mc_surface_triangles=int(ntri),
+                )
+            except Exception as e:  # never fail the headline on this
+                out.extra(mc_surface_error=f"{type(e).__name__}: {e}")
 
     if fallback and "VBR_BENCH_KERNEL" in os.environ:
         return 2  # explicit kernel request not honored: fail loudly
