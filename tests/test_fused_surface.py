@@ -214,3 +214,98 @@ def test_stream_surface_matches_per_frame(model_and_frame):
         np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref_occ))
         np.testing.assert_array_equal(tris, ref_tris)
     assert not np.array_equal(np.asarray(out[0][1]), np.asarray(out[2][1]))
+
+
+@pytest.mark.parametrize(
+    "algorithm,ambiguity",
+    [("tetrahedra", "separate"), ("cubes", "join")],
+)
+def test_surface_wire_matches_extract_mesh(algorithm, ambiguity):
+    """Wire-format extraction (device: cell ids + configs only; host:
+    generated-table emission) is bit-identical to extract_mesh."""
+    vol = _random_volume(9)
+    origin = (-512.0, -1024.0, -2048.0)
+    spacing = (12.0, 16.0, 20.0)
+    ref, n_ref = mc.extract_mesh(vol, origin=origin, spacing=spacing,
+                                 algorithm=algorithm, ambiguity=ambiguity)
+    idx, cfg, n_active = mc.surface_wire_program(
+        np.asarray(vol), capacity=2048)
+    assert 0 < int(n_active) <= 2048
+    tris = mc.triangles_from_wire(
+        idx, cfg, n_active, vol.shape, origin, spacing,
+        algorithm=algorithm, ambiguity=ambiguity)
+    assert tris.shape == (n_ref, 3, 3)
+    np.testing.assert_array_equal(tris, ref)
+
+
+def test_stream_surface_wire_matches_full(model_and_frame):
+    """transfer='wire' (cell ids + configs + packed occupancy over the
+    link, host table emission) == transfer='full', bit-identical."""
+    model, frame = model_and_frame
+    f1 = frame.copy()
+    f1[:, 18:48, 30:68] = 255
+    frames = [frame, f1]
+    full = list(model.stream_surface(iter(frames), depth=2,
+                                     capacity=4096, transfer="full"))
+    wire = list(model.stream_surface(iter(frames), depth=2,
+                                     capacity=4096, transfer="wire"))
+    assert len(full) == len(wire) == 2
+    for (t_f, o_f), (t_w, o_w) in zip(full, wire):
+        np.testing.assert_array_equal(t_w, t_f)
+        np.testing.assert_array_equal(np.asarray(o_w),
+                                      np.asarray(o_f))
+    with pytest.raises(ValueError, match="transfer"):
+        next(iter(model.stream_surface(iter(frames), transfer="zip")))
+
+
+def test_stream_surface_wire_with_roi_ingest(model_and_frame):
+    """transfer='wire' composed with ingest='yuv420_roi': the stream
+    must equal the wire stream fed the host-reconstructed frames (the
+    loss lives in the ingest format, never in the composition)."""
+    from vbr_tpu.ops import color as color_ops
+    from vbr_tpu.pipelines import background as bg
+
+    model, frame = model_and_frame
+    frames = [frame, frame.copy()]
+    frames[1][:, 18:48, 30:68] = 255
+    out = list(model.stream_surface(
+        iter(frames), depth=2, capacity=4096, transfer="wire",
+        ingest="yuv420_roi", roi_hw=(48, 64)))
+    assert len(out) == 2
+    # reference: reconstruct each frame the way the ingest does, then
+    # run the plain wire stream on the reconstructions
+    tracker = model._roi_tracker((48, 64))
+    recon = []
+    for fr in frames:
+        mode, upload, roi_off = model._ingest_prepare(
+            "yuv420_roi", tracker, fr)
+        recon.append(model._ingest_reconstruct(mode, upload, roi_off))
+    ref = list(model.stream_surface(
+        iter(recon), depth=2, capacity=4096, transfer="wire"))
+    for (t_a, o_a), (t_b, o_b) in zip(out, ref):
+        np.testing.assert_array_equal(t_a, t_b)
+        np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_b))
+    assert len(out[1][0]) > 0
+
+
+def test_native_wire_emit_matches_numpy():
+    """The C++ wire-emission tail is bitwise identical to the numpy
+    reference (same float op order); skip where the toolchain is absent."""
+    try:
+        from vbr_tpu.native import mc_emit  # noqa: F401
+    except Exception:
+        pytest.skip("native host lib unavailable")
+    vol = _random_volume(21, shape=(14, 11, 13), p=0.4)
+    idx, cfg, n = mc.surface_wire_program(np.asarray(vol), capacity=2048)
+    n = int(n)
+    assert n <= 2048
+    tv, tvalid = mc._binary_emit_table("cubes", "join", 0.5)
+    ref = mc._triangles_from_wire_numpy(
+        np.asarray(idx), np.asarray(cfg), n, tv, tvalid,
+        vol.shape[1] - 1, vol.shape[2] - 1,
+        (-512.0, -1024.0, -2048.0), (12.0, 16.0, 20.0))
+    got = mc.triangles_from_wire(
+        idx, cfg, n, vol.shape, (-512.0, -1024.0, -2048.0),
+        (12.0, 16.0, 20.0))
+    np.testing.assert_array_equal(got, ref)
+    assert len(got) > 0

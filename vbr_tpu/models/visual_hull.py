@@ -459,6 +459,45 @@ class VisualHull:
                 p.figure_threshold for p in self.mask_params),
         )
 
+    def _ingest_prepare(self, ingest, tracker, frames):
+        """Shared upload prep for the streaming entry points:
+        → (mode, upload array, roi_offsets or None).  ``mode`` degrades
+        ``yuv420_roi`` → ``yuv420`` on frames where the tracker cannot
+        guarantee containment."""
+        from vbr_tpu.ops import color as color_ops
+
+        mode = ingest
+        roi_off = None
+        if ingest == "yuv420_roi":
+            offsets, full_needed = tracker.update(np.asarray(frames))
+            if full_needed:
+                mode = "yuv420"
+            else:
+                roi_off = jnp.asarray(offsets)
+        if mode == "yuv420_roi":
+            upload = color_ops.bgr_to_yuv420_host(
+                tracker.crop(np.asarray(frames)))
+        elif mode == "yuv420":
+            upload = color_ops.bgr_to_yuv420_host(np.asarray(frames))
+        else:
+            upload = frames
+        return mode, upload, roi_off
+
+    def _ingest_reconstruct(self, mode, upload, roi_off):
+        """Host-side reconstruction of the effective BGR frames a
+        reduced upload produces (the CPU/tables branches run on these,
+        so CI streams are bit-identical to the device ingest path)."""
+        from vbr_tpu.ops import color as color_ops
+
+        if mode == "bgr":
+            return upload
+        recon = color_ops.yuv420_to_bgr_u8(jnp.asarray(upload))
+        if mode == "yuv420":
+            return np.asarray(recon)
+        return np.asarray(background.paste_rois(
+            recon, roi_off,
+            (self.rig.image_height, self.rig.image_width)))
+
     def stream_viewer(self, frames_iter, depth: int = 3,
                       ingest: str = "bgr", roi_hw=(320, 224)):
         """Streaming viewer-array pipeline tuned for slow host↔device links.
@@ -500,21 +539,8 @@ class VisualHull:
         def dispatch(frames):
             # the original BGR frames ride along for the exact overflow
             # fallback; only the device upload uses the packed format
-            mode = ingest
-            roi_off = None
-            if ingest == "yuv420_roi":
-                offsets, full_needed = tracker.update(np.asarray(frames))
-                if full_needed:
-                    mode = "yuv420"  # guarded containment fallback
-                else:
-                    roi_off = jnp.asarray(offsets)
-            if mode == "yuv420_roi":
-                upload = color_ops.bgr_to_yuv420_host(
-                    tracker.crop(np.asarray(frames)))
-            elif mode == "yuv420":
-                upload = color_ops.bgr_to_yuv420_host(np.asarray(frames))
-            else:
-                upload = frames
+            mode, upload, roi_off = self._ingest_prepare(
+                ingest, tracker, frames)
             wire = _full_step_pallas(
                 self._stacked_fz, jnp.asarray(upload),
                 self._btab.pk,
@@ -672,7 +698,8 @@ class VisualHull:
 
     def stream_surface(self, frames_iter, depth: int = 2,
                        algorithm: str = "cubes", ambiguity: str = "join",
-                       capacity: int = 32768):
+                       capacity: int = 32768, transfer: str = "full",
+                       ingest: str = "bgr", roi_hw=(320, 224)):
         """Streaming surface reconstruction: frames in, meshes out.
 
         Per frame ONE fused device program (the frame→mesh step of
@@ -683,6 +710,18 @@ class VisualHull:
         :meth:`process_frame_surface` (test-gated); CCL-overflow and
         over-capacity frames are redone exactly via the host paths.
 
+        ``transfer="wire"`` (r5, for slow host↔device links) downloads
+        only the active CELL IDS + CONFIGS and bit-packed occupancy
+        (~0.4 MB) instead of the emitted triangle buffer (~5.9 MB at
+        the default capacity); the host emits the triangles from the
+        same generated table — bit-identical output (test-gated).
+        ``ingest`` accepts the reduced-byte UPLOAD formats of
+        :meth:`stream_viewer` ("yuv420", "yuv420_roi" — lossy,
+        evidence-gated via :meth:`validate_reduced_ingest`); on the
+        CPU/tables branch the frames are reconstructed host-side from
+        the identical packed data, so CI streams remain bit-identical
+        to the device ingest path.
+
         This is the live analog of the reference's offline
         ``plot_marching_cubes`` (voxel_reconstruction.py:127-163): the
         reference pulled the hull to host and re-ran skimage +
@@ -691,20 +730,67 @@ class VisualHull:
         """
         import collections
 
+        if transfer not in ("full", "wire"):
+            raise ValueError(f"unknown transfer mode {transfer!r}")
+        if ingest not in ("bgr", "yuv420", "yuv420_roi"):
+            raise ValueError(f"unknown ingest format {ingest!r}")
         common = self._surface_common(algorithm, ambiguity, capacity)
         origin, spacing = self._world_frame()
+        tracker = self._roi_tracker(roi_hw) if ingest == "yuv420_roi"             else None
         q = collections.deque()
+        if transfer == "wire":
+            wire_kw = dict(common)
+            for k in ("algorithm", "ambiguity"):
+                wire_kw.pop(k)
 
         def dispatch(frames):
-            out = self._dispatch_surface(jnp.asarray(frames), common)
-            for x in out[:2]:  # start the device→host copies early
-                try:
+            mode, upload, roi_off = self._ingest_prepare(
+                ingest, tracker, frames)
+            use_pallas = (jax.default_backend() != "cpu"
+                          and self._btab is not None)
+            if not use_pallas and mode != "bgr":
+                # tables branch: reconstruct from the same packed data
+                upload = self._ingest_reconstruct(mode, upload, roi_off)
+                mode, roi_off = "bgr", None
+            frames_d = jnp.asarray(upload)
+            if transfer == "wire":
+                if use_pallas:
+                    out = _full_step_surface_wire(
+                        self._stacked_fz, frames_d,
+                        self._btab.pk, self._btab.lcc, self._btab.vorig,
+                        self._btab.uorig, self._btab.allv, self._btab.ry,
+                        self._btab.rx,
+                        btab_static=_btab_static(self._btab),
+                        ingest=mode, roi_offsets=roi_off, **wire_kw,
+                    )
+                else:
+                    out = _full_step_surface_wire_tables(
+                        self._stacked_fz, frames_d,
+                        self.tables.valid, self.tables.lin_idx,
+                        color_camera=self.rig.color_camera, **wire_kw,
+                    )
+            elif use_pallas:
+                out = _full_step_surface(
+                    self._stacked_fz, frames_d,
+                    self._btab.pk, self._btab.lcc, self._btab.vorig,
+                    self._btab.uorig, self._btab.allv, self._btab.ry,
+                    self._btab.rx, btab_static=_btab_static(self._btab),
+                    ingest=mode, roi_offsets=roi_off, **common,
+                )
+            else:
+                out = _full_step_surface_tables(
+                    self._stacked_fz, frames_d,
+                    self.tables.valid, self.tables.lin_idx,
+                    color_camera=self.rig.color_camera, **common,
+                )
+            for x in (out[:2] if isinstance(out, tuple) else (out,)):
+                try:  # start the device→host copies early
                     x.copy_to_host_async()
                 except AttributeError:
                     pass
             return out, frames
 
-        def resolve(entry):
+        def resolve_full(entry):
             (verts, valid, n_active, occ, _col, ovf), frames = entry
             if bool(np.asarray(ovf).any()) or int(n_active) > capacity:
                 tris, occ_h, _col_h = self._surface_host_redo(
@@ -713,6 +799,22 @@ class VisualHull:
                 return tris, occ_h
             return mc.world_triangles(verts, valid, origin, spacing), occ
 
+        def resolve_wire(entry):
+            wire, frames = entry
+            any_ovf, n_active, idx, cfg, occ = _decode_surface_wire(
+                wire, capacity, self.grid.num_voxels)
+            if any_ovf or n_active > capacity:
+                tris, occ_h, _col_h = self._surface_host_redo(
+                    frames, algorithm, ambiguity
+                )
+                return tris, occ_h
+            tris = mc.triangles_from_wire(
+                idx, cfg, n_active, self.grid.shape, origin, spacing,
+                algorithm=algorithm, ambiguity=ambiguity,
+            )
+            return tris, occ
+
+        resolve = resolve_wire if transfer == "wire" else resolve_full
         for frames in frames_iter:
             q.append(dispatch(frames))
             if len(q) > depth:
@@ -1275,30 +1377,116 @@ def _full_step_tables(
     static_argnames=(
         "btab_static", "mask_params", "use_hsv", "fig_thresholds",
         "inner_thresholds", "views_threshold", "grid_shape", "algorithm",
-        "ambiguity", "capacity", "interpret",
+        "ambiguity", "capacity", "interpret", "ingest",
     ),
 )
 def _full_step_surface(
     stacked_fz, frames, pk, lcc, vorig, uorig, allv, ry, rx, *,
     btab_static, mask_params, use_hsv, fig_thresholds, inner_thresholds,
     views_threshold, grid_shape, algorithm, ambiguity, capacity,
-    interpret=False,
+    interpret=False, ingest="bgr", roi_offsets=None,
 ):
     """Frame → triangle mesh as ONE device program: the fused per-frame
     pipeline (_full_step_pallas, canonical layout) + the device-resident
-    surface extraction (ops.marching_cubes.surface_program)."""
+    surface extraction (ops.marching_cubes.surface_program).  ``ingest``
+    accepts the reduced-byte wire formats of _full_step_pallas."""
     occ, col, ovf = _full_step_pallas(
         stacked_fz, frames, pk, lcc, vorig, uorig, allv, ry, rx,
         btab_static=btab_static, mask_params=mask_params, use_hsv=use_hsv,
         fig_thresholds=fig_thresholds, inner_thresholds=inner_thresholds,
         views_threshold=views_threshold, layout="canonical",
-        interpret=interpret,
+        interpret=interpret, ingest=ingest, roi_offsets=roi_offsets,
     )
     verts, valid, n_active = mc.surface_program(
         occ.reshape(grid_shape), algorithm=algorithm, ambiguity=ambiguity,
         capacity=capacity,
     )
     return verts, valid, n_active, occ, col, ovf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "btab_static", "mask_params", "use_hsv", "fig_thresholds",
+        "inner_thresholds", "views_threshold", "grid_shape", "capacity",
+        "interpret", "ingest",
+    ),
+)
+def _full_step_surface_wire(
+    stacked_fz, frames, pk, lcc, vorig, uorig, allv, ry, rx, *,
+    btab_static, mask_params, use_hsv, fig_thresholds, inner_thresholds,
+    views_threshold, grid_shape, capacity, interpret=False,
+    ingest="bgr", roi_offsets=None,
+):
+    """Frame → surface WIRE as one device program (r5): the fused
+    pipeline + cell-id/config extraction (ops.marching_cubes.
+    surface_wire_program) + bit-packed occupancy — ~0.4 MB out instead
+    of the ~5.9 MB emitted-triangle buffer; the host emits triangles
+    from the generated table, bit-identically (triangles_from_wire)."""
+    occ, col, ovf = _full_step_pallas(
+        stacked_fz, frames, pk, lcc, vorig, uorig, allv, ry, rx,
+        btab_static=btab_static, mask_params=mask_params, use_hsv=use_hsv,
+        fig_thresholds=fig_thresholds, inner_thresholds=inner_thresholds,
+        views_threshold=views_threshold, layout="canonical",
+        interpret=interpret, ingest=ingest, roi_offsets=roi_offsets,
+    )
+    return _encode_surface_wire(occ, ovf, grid_shape, capacity)
+
+
+def _encode_surface_wire(occ, ovf, grid_shape, capacity):
+    """One u8 buffer = [any_ovf i32][n_active i32][idx i32·cap][cfg u8·cap]
+    [occ bits] — a single device→host fetch (every separate fetch pays
+    the tunnel's fixed ~30 ms round trip; five of them capped the wire
+    surface stream at ~9 fps)."""
+    import jax
+
+    idx, cfg, n_active = mc.surface_wire_program(
+        occ.reshape(grid_shape), capacity=capacity,
+    )
+    occ_packed = jnp.packbits(occ.astype(jnp.uint8), bitorder="little")
+    head = jax.lax.bitcast_convert_type(
+        jnp.stack([jnp.any(ovf).astype(jnp.int32),
+                   n_active.astype(jnp.int32)]), jnp.uint8,
+    ).ravel()
+    idx_b = jax.lax.bitcast_convert_type(
+        idx.astype(jnp.int32), jnp.uint8).ravel()
+    return jnp.concatenate([head, idx_b, cfg.ravel(), occ_packed])
+
+
+def _decode_surface_wire(wire_host, capacity, num_voxels):
+    """Host inverse of :func:`_encode_surface_wire` (zero-copy views)."""
+    buf = np.asarray(wire_host)
+    any_ovf, n_active = np.frombuffer(buf[:8].tobytes(), np.int32)
+    o = 8
+    idx = np.frombuffer(buf[o:o + 4 * capacity].tobytes(), np.int32)
+    o += 4 * capacity
+    cfg = buf[o:o + capacity]
+    o += capacity
+    occ = np.unpackbits(buf[o:], bitorder="little",
+                        count=num_voxels).astype(bool)
+    return int(any_ovf), int(n_active), idx, cfg, occ
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mask_params", "use_hsv", "fig_thresholds", "inner_thresholds",
+        "views_threshold", "color_camera", "grid_shape", "capacity",
+    ),
+)
+def _full_step_surface_wire_tables(
+    stacked_fz, frames, valid_t, lin_idx, *, mask_params, use_hsv,
+    fig_thresholds, inner_thresholds, views_threshold, color_camera,
+    grid_shape, capacity,
+):
+    """XLA table-carve variant of :func:`_full_step_surface_wire`."""
+    occ, col, ovf = _full_step_tables(
+        stacked_fz, frames, valid_t, lin_idx, mask_params=mask_params,
+        use_hsv=use_hsv, fig_thresholds=fig_thresholds,
+        inner_thresholds=inner_thresholds,
+        views_threshold=views_threshold, color_camera=color_camera,
+    )
+    return _encode_surface_wire(occ, ovf, grid_shape, capacity)
 
 
 @functools.partial(

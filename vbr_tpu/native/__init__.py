@@ -65,8 +65,43 @@ def _lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p,
         ]
+
+        lib.vbr_mc_emit.restype = ctypes.c_int
+        lib.vbr_mc_emit.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _LIB = lib
     return _LIB
+
+
+def mc_emit(idx, cfg, n, table, tvalid, ny1, nz1, origin, spacing):
+    """Native triangle emission from a surface-wire result — bitwise
+    identical to the numpy reference in ops/marching_cubes
+    (test-gated); the numpy tail costs ~300-400 ms/frame on this
+    one-core host."""
+    n = min(int(n), len(idx), len(cfg))  # truncated-result safety
+    idx = np.ascontiguousarray(idx[:n], np.int32)
+    cfg = np.ascontiguousarray(cfg[:n], np.uint8)
+    T = table.shape[1]
+    table = np.ascontiguousarray(table, np.float32)
+    tvalid = np.ascontiguousarray(tvalid, np.uint8)
+    origin = np.ascontiguousarray(origin, np.float32)
+    spacing = np.ascontiguousarray(spacing, np.float32)
+    out = np.empty((int(n) * T, 3, 3), np.float32)
+    m = _lib().vbr_mc_emit(
+        idx.ctypes.data_as(ctypes.c_void_p),
+        cfg.ctypes.data_as(ctypes.c_void_p), int(n),
+        table.ctypes.data_as(ctypes.c_void_p),
+        tvalid.ctypes.data_as(ctypes.c_void_p), T,
+        int(ny1), int(nz1),
+        origin.ctypes.data_as(ctypes.c_void_p),
+        spacing.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:m]
 
 
 def yuv420_pack(frames: np.ndarray) -> np.ndarray:

@@ -267,4 +267,42 @@ void vbr_yuv420_pack(const uint8_t* bgr, int C, int H, int W,
   }
 }
 
+// ---- marching-cubes wire emission (surface streaming, r5) ----
+//
+// Host tail of the wire-format surface stream: triangles from
+// (cell idx, config) pairs via the generated 256-entry table.  Float
+// op order matches ops/marching_cubes.triangles_from_wire's numpy
+// reference exactly ((v + base) * spacing + origin, f32), so the
+// output is bitwise identical (test-gated).  The numpy tail costs
+// ~300-400 ms per frame on this one-core host -- it capped the wire
+// surface stream at ~8 fps.
+
+int vbr_mc_emit(const int32_t* idx, const uint8_t* cfg, int n,
+                const float* table, const uint8_t* tvalid, int T,
+                int ny1, int nz1, const float* origin,
+                const float* spacing, float* out) {
+  long m = 0;
+  const long plane = (long)ny1 * nz1;
+  for (int i = 0; i < n; ++i) {
+    const int c = cfg[i];
+    const long id = idx[i];
+    const float base[3] = {
+        (float)(id / plane), (float)((id / nz1) % ny1),
+        (float)(id % nz1)};
+    const float* trow = table + (long)c * T * 9;
+    const uint8_t* vrow = tvalid + (long)c * T;
+    for (int t = 0; t < T; ++t) {
+      if (!vrow[t]) continue;
+      const float* v = trow + (long)t * 9;
+      float* o = out + m * 9;
+      for (int k = 0; k < 9; ++k) {
+        const int ax = k % 3;
+        o[k] = (v[k] + base[ax]) * spacing[ax] + origin[ax];
+      }
+      ++m;
+    }
+  }
+  return (int)m;
+}
+
 }  // extern "C"

@@ -981,6 +981,80 @@ def surface_program(
     return verts, valid, n_active
 
 
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "block_capacity")
+)
+def surface_wire_program(
+    volume: jnp.ndarray,  # (nx, ny, nz) bool/int occupancy
+    *,
+    capacity: int = 32768,
+    block_capacity: int = 4096,
+):
+    """Wire-format surface extraction for slow host↔device links (r5).
+
+    For a BINARY volume the triangles are a pure function of each active
+    cell's (index, 8-bit config) — the same fact behind the table
+    emitters — so a link-bound consumer only needs THOSE: this program
+    returns ``(idx (capacity,) i32, cfg (capacity,) u8, n_active)``
+    (~0.17 MB at capacity 32768) instead of the emitted triangle buffer
+    (~5.9 MB), and the host emits via :func:`triangles_from_wire` —
+    bit-identical to :func:`extract_mesh` (test-gated).  Same truncation
+    contract as :func:`surface_program`."""
+    vol = volume.astype(bool)
+    cfg_flat = cell_configs(vol, level=0.5).reshape(-1).astype(jnp.int32)
+    active = (cfg_flat != 0) & (cfg_flat != 255)
+    idx, n_active = _compact_active(active, capacity, block_capacity)
+    cfg = jnp.take(cfg_flat, idx).astype(jnp.uint8)
+    return idx, cfg, n_active
+
+
+def triangles_from_wire(idx, cfg, n_active, volume_shape,
+                        origin=(0.0, 0.0, 0.0), spacing=(1.0, 1.0, 1.0),
+                        algorithm: str = "cubes", ambiguity: str = "join",
+                        level: float = 0.5) -> np.ndarray:
+    """Host emission from a :func:`surface_wire_program` result —
+    the same generated-table math as ``extract_mesh``'s binary fast
+    path, so the triangle soup is bit-identical to it (gated)."""
+    tv, tvalid = _binary_emit_table(algorithm, ambiguity, float(level))
+    # a truncated result (n_active > capacity) must not over-read; the
+    # callers redo truncated frames via the host path anyway
+    n = min(int(n_active), len(np.asarray(idx)))
+    ny1, nz1 = volume_shape[1] - 1, volume_shape[2] - 1
+    if n == 0:
+        return np.zeros((0, 3, 3), np.float32)
+    T = tv.shape[1]
+    try:  # native tail (~2 ms vs ~300-400 ms numpy on this host),
+        # bitwise-identical float op order (test-gated)
+        from vbr_tpu.native import mc_emit
+
+        return mc_emit(np.asarray(idx), np.asarray(cfg), n,
+                       tv.reshape(256, T, 9), tvalid, ny1, nz1,
+                       np.asarray(origin, np.float32),
+                       np.asarray(spacing, np.float32)).reshape(-1, 3, 3)
+    except Exception:  # no toolchain/lib: numpy reference below
+        pass
+    return _triangles_from_wire_numpy(
+        np.asarray(idx), np.asarray(cfg), n, tv, tvalid, ny1, nz1,
+        origin, spacing)
+
+
+def _triangles_from_wire_numpy(idx, cfg, n, tv, tvalid, ny1, nz1,
+                               origin, spacing):
+    """numpy reference tail of :func:`triangles_from_wire` (the native
+    kernel's parity oracle)."""
+    idx = idx[:n].astype(np.int64)
+    cfg = cfg[:n]
+    base = np.stack(
+        [idx // (ny1 * nz1), (idx // nz1) % ny1, idx % nz1], axis=-1
+    ).astype(np.float32)
+    verts = tv[cfg] + base[:, None, None, :]
+    tris = verts.reshape(-1, 3, 3)[tvalid[cfg].reshape(-1)]
+    tris = tris * np.asarray(spacing, np.float32) + np.asarray(
+        origin, np.float32
+    )
+    return tris.astype(np.float32)
+
+
 def world_triangles(verts, valid, origin, spacing) -> np.ndarray:
     """Filter + world-place a :func:`surface_program` result on host.
 
